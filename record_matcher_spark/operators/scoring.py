@@ -1,0 +1,203 @@
+"""Blocking + weighted pair scoring (reference O2, O3, O4, O6, O7).
+
+Re-expresses the reference's per-x nested loop
+(/root/reference/record_matcher/matcher.py:92-216) as one declarative plan:
+
+    x  --(uniqueness agg, one pass)-->  per-row weights + optimal threshold
+    x JOIN y ON blocking keys        =  candidate pairs   (records.py:106-132)
+    per pair: greatest-over-y-cols scorer scores, per-column contribution
+    gates, weighted sum in rule order                     (matcher.py:8-89,
+                                                           184-200)
+
+Everything except pandas-UDF scorers stays inside whole-stage codegen.
+The only driver-side data is the per-column uniqueness map (one row per
+match column — O(columns), never O(rows)).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from record_matcher_spark.config import MatchConfig
+from record_matcher_spark.errors import InvalidConfigError
+from record_matcher_spark.functions.scorers import SCORERS, blank_coalesce
+
+# Internal column prefix — kept out of user schemas.
+XID = "__rm_x_id"
+YID = "__rm_y_id"
+SCORE = "row_score"
+OPTIMAL = "optimal_threshold"
+
+
+def uniqueness_by_columns(
+    df: DataFrame, columns: Iterable[str]
+) -> dict[str, float]:
+    """Distinct-truthy-value ratio per column, in ONE aggregate pass.
+
+    Reference semantics (records.py:49-67):
+    ``len({r[c] for r in records if r[c]}) / len(records)``, 0 for an empty
+    table — distinct count over non-blank string values divided by total
+    row count. Exact ``count_distinct`` (not approx) because weights must
+    match the reference bit-for-bit. The final division happens driver-side
+    on exact integer counts, so the float result is identical to the
+    reference's Python division.
+
+    Blank semantics: NULL and '' are both "blank" (Spark NULL is strictly
+    more permissive than the reference, which raises KeyError on ragged
+    rows at records.py:66 — documented divergence).
+    """
+    columns = list(dict.fromkeys(columns))
+    aggs = [F.count(F.lit(1)).alias("__rm_total")]
+    for c in columns:
+        s = blank_coalesce(F.col(c))
+        aggs.append(
+            F.count_distinct(F.when(s != "", s)).alias(f"__rm_u_{c}")
+        )
+    row = df.agg(*aggs).first()
+    total = row["__rm_total"]
+    if total == 0:
+        return {c: 0.0 for c in columns}
+    return {c: row[f"__rm_u_{c}"] / total for c in columns}
+
+
+def _rule_score_expr(rule, xs: Column, y_prefix: str) -> Column:
+    """max-over-y-columns scorer score for one rule (matcher.py:74-84)."""
+    scorer = SCORERS[rule.scorer]
+    if not rule.y_columns:
+        # reference: max(column_scores) if column_scores else 0 (matcher.py:84)
+        return F.lit(0.0)
+    exprs = [scorer.expr(xs, F.col(f"{y_prefix}{yc}")) for yc in rule.y_columns]
+    return exprs[0] if len(exprs) == 1 else F.greatest(*exprs)
+
+
+def prepare_x(
+    x_df: DataFrame, cfg: MatchConfig, uniqueness: Mapping[str, float] | None = None
+) -> DataFrame:
+    """Annotate x with normalized match/group strings, per-row weights and
+    the per-row optimal threshold.
+
+    Weights (records.py:70-103 + matcher.py:173-177): restrict column
+    uniqueness to this row's non-blank match columns and normalize to sum 1;
+    a blank column gets weight 0; if every match column is blank the weight
+    map is empty (all 0) and optimal_threshold is 0.
+
+    ``optimal_threshold = sum(threshold_c * w_c)`` over the refined columns
+    (matcher.py:210-214). Accumulation order = rule order, fixed in both
+    engine and oracle so float results agree bitwise.
+    """
+    if uniqueness is None:
+        uniqueness = uniqueness_by_columns(x_df, cfg.x_match_columns)
+
+    out = x_df
+    nonblank: dict[str, Column] = {}
+    for rule in cfg.rules:
+        xs = blank_coalesce(F.col(rule.x_column))
+        out = out.withColumn(f"__rm_xs_{rule.x_column}", xs)
+        nonblank[rule.x_column] = xs != ""
+
+    # u_sum = sum of u_c over this row's non-blank match columns, rule order
+    u_sum: Column = F.lit(0.0)
+    for rule in cfg.rules:
+        u_c = float(uniqueness[rule.x_column])
+        u_sum = u_sum + F.when(nonblank[rule.x_column], F.lit(u_c)).otherwise(0.0)
+    out = out.withColumn("__rm_u_sum", u_sum)
+
+    optimal: Column = F.lit(0.0)
+    for rule in cfg.rules:
+        u_c = float(uniqueness[rule.x_column])
+        w_c = F.when(
+            nonblank[rule.x_column] & (F.col("__rm_u_sum") > 0),
+            F.lit(u_c) / F.col("__rm_u_sum"),
+        ).otherwise(0.0)
+        out = out.withColumn(f"__rm_w_{rule.x_column}", w_c)
+        optimal = optimal + F.lit(float(rule.threshold)) * w_c
+    out = out.withColumn(OPTIMAL, optimal)
+    return out
+
+
+def score_pairs(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    cfg: MatchConfig,
+    *,
+    require_blocking: bool = False,
+    broadcast_y: bool | None = None,
+    keep_column_scores: bool = False,
+) -> DataFrame:
+    """Candidate generation + weighted scoring → scored-pairs DataFrame.
+
+    Returns ``[x_id, y_id, row_score, optimal_threshold]`` — one row per
+    candidate pair that "entered" scoring, i.e. where at least one
+    per-column gate passed. This replicates the reference's defaultdict:
+    a y index appears in ``y_records_scores`` iff some column's generator
+    yielded it (matcher.py:184-200), *even when its total contribution is
+    0.0* (e.g. a blank x column exact-matching a blank y gets score 100,
+    passes the ``>0`` gate, but carries weight 0).
+
+    Per-column gate (matcher.py:86-89): ``cutoff ? score >= threshold
+    : score > 0``; a gated-out column simply contributes nothing.
+
+    Blocking (records.py:106-132): string-equality equi-join on
+    ``columns_to_group`` pairs with blank coalescing (``y.get(col, '')``).
+    Empty spec ⇒ cross join, exactly like the reference scoring all y per x
+    (matcher.py:179) — forbidden at scale via ``require_blocking``.
+
+    ``broadcast_y``: force/forbid a broadcast-hash join of the y side;
+    default None lets Catalyst + AQE decide.
+    """
+    cfg.validate(x_df.columns, y_df.columns, require_blocking=require_blocking)
+
+    x = prepare_x(x_df, cfg)
+    x_cols = [F.col(cfg.x_id).alias(XID), OPTIMAL]
+    x_cols += [f"__rm_xs_{r.x_column}" for r in cfg.rules]
+    x_cols += [f"__rm_w_{r.x_column}" for r in cfg.rules]
+    group_x = sorted(set(cfg.columns_to_group.values()))
+    x_cols += [blank_coalesce(F.col(c)).alias(f"__rm_gx_{c}") for c in group_x]
+    xp = x.select(*x_cols)
+
+    y_needed = sorted(
+        {yc for r in cfg.rules for yc in r.y_columns} | set(cfg.columns_to_group)
+    )
+    y_cols = [F.col(cfg.y_id).alias(YID)]
+    y_cols += [blank_coalesce(F.col(c)).alias(f"__rm_ys_{c}") for c in y_needed]
+    yp = y_df.select(*y_cols)
+    if broadcast_y:
+        yp = F.broadcast(yp)
+
+    if cfg.columns_to_group:
+        cond = None
+        for yc, xc in cfg.columns_to_group.items():
+            eq = F.col(f"__rm_ys_{yc}") == F.col(f"__rm_gx_{xc}")
+            cond = eq if cond is None else (cond & eq)
+        pairs = xp.join(yp, cond, "inner")
+    else:
+        pairs = xp.crossJoin(yp)
+
+    # per-rule score, gate, contribution — accumulated in rule order
+    row_score: Column = F.lit(0.0)
+    any_gate: Column = F.lit(False)
+    keep_cols = []
+    for rule in cfg.rules:
+        xs = F.col(f"__rm_xs_{rule.x_column}")
+        sc = _rule_score_expr(rule, xs, "__rm_ys_")
+        if rule.cutoff:
+            gate = sc >= F.lit(float(rule.threshold))
+        else:
+            gate = sc > F.lit(0.0)
+        contrib = F.when(gate, sc * F.col(f"__rm_w_{rule.x_column}")).otherwise(0.0)
+        row_score = row_score + contrib
+        any_gate = any_gate | gate
+        if keep_column_scores:
+            keep_cols.append(sc.alias(f"score_{rule.x_column}"))
+
+    out_cols = [
+        F.col(XID).alias("x_id"),
+        F.col(YID).alias("y_id"),
+        row_score.alias(SCORE),
+        F.col(OPTIMAL),
+        *keep_cols,
+    ]
+    return pairs.where(any_gate).select(*out_cols)

@@ -1,0 +1,82 @@
+"""Scorer unit tests: F5 edge strings + Spark-expression vs pure-Python
+twin agreement (FIXTURES.md §F5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from record_matcher_spark.functions.scorers import SCORERS, blank_coalesce
+
+EDGE_PAIRS = [
+    ("", ""),  # both blank
+    ("abc", ""),  # one blank
+    ("", "abc"),
+    ("abc", "abc"),  # identical
+    ("naïve café 😀", "naïve café 😀"),  # unicode identical
+    ("naïve", "naive"),
+    ("kitten", "sitting"),  # classic levenshtein
+    ("martha", "marhta"),  # classic jaro transposition
+    ("dixon", "dicksonx"),  # classic jaro-winkler prefix
+    ("the quick brown fox", "fox brown quick the"),  # token permutation
+    ("a b c", "a b c d"),
+    ("short", "a much longer string entirely"),
+    ("MiXeD", "mixed"),  # case-sensitive by design
+    ("a  b", "a b"),  # whitespace runs
+    (" leading", "leading"),
+]
+
+
+@pytest.mark.parametrize("name", sorted(SCORERS))
+def test_spark_expr_matches_python_twin(spark, name):
+    scorer = SCORERS[name]
+    df = spark.createDataFrame(EDGE_PAIRS, "x string, y string")
+    rows = (
+        df.select(
+            "x",
+            "y",
+            scorer.expr(blank_coalesce(F.col("x")), blank_coalesce(F.col("y"))).alias(
+                "s"
+            ),
+        )
+        .orderBy("x", "y")
+        .collect()
+    )
+    for row in rows:
+        expected = scorer.py(row["x"] or "", row["y"] or "")
+        assert math.isclose(row["s"], expected, rel_tol=0, abs_tol=1e-9), (
+            name,
+            row["x"],
+            row["y"],
+            row["s"],
+            expected,
+        )
+        assert 0.0 <= row["s"] <= 100.0
+
+
+def test_blank_semantics():
+    """Both blank => 100, one blank => 0, for every scorer (FIXTURES F5)."""
+    for name, sc in SCORERS.items():
+        assert sc.py("", "") == 100.0, name
+        assert sc.py("abc", "") == 0.0, name
+        assert sc.py("", "abc") == 0.0, name
+        assert sc.py("same", "same") == 100.0, name
+
+
+def test_known_values():
+    assert SCORERS["exact_match"].py("a", "b") == 0.0
+    # levenshtein("kitten","sitting") = 3, max len 7
+    assert math.isclose(
+        SCORERS["levenshtein_ratio"].py("kitten", "sitting"), 100 * (1 - 3 / 7)
+    )
+    # classic JW: martha/marhta = 0.9611...
+    assert math.isclose(
+        SCORERS["jaro_winkler"].py("martha", "marhta"), 96.11111111111111, abs_tol=1e-9
+    )
+    # token permutation => full jaccard
+    assert SCORERS["token_set_jaccard"].py("a b c", "c a b") == 100.0
+    assert math.isclose(
+        SCORERS["token_set_jaccard"].py("a b c", "a b c d"), 75.0
+    )
