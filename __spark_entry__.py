@@ -1,38 +1,288 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship fuzzy-match query at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query; match-pipeline oracles
+are *generated* from the same MatchConfig by
+record_matcher_spark.plans.sql_oracle, mirroring the Spark expression tree
+FP-op-for-FP-op so value hashes agree.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from record_matcher_spark.config import ColumnRule, MatchConfig
+from record_matcher_spark.functions.scorers import blank_coalesce
+from record_matcher_spark.operators.resolve import resolve_matches
+from record_matcher_spark.operators.scoring import score_pairs
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------------
+# match-pipeline queries: Spark engine vs generated DuckDB oracle
+# --------------------------------------------------------------------------
+# x = perturbed self-copy of customer (pure-SQL perturbation so both engines
+# derive the identical table); y = customer. Blocking on nationkey.
+
+_X_EXACT = (
+    "SELECT c_custkey AS row_id, "
+    "CASE WHEN c_custkey % 7 = 0 THEN substr(c_name, 1, 12) ELSE c_name END AS name, "
+    "c_mktsegment AS seg, c_nationkey AS nk FROM customer"
+)
+_X_FUZZY = (
+    "SELECT c_custkey AS row_id, "
+    "CASE WHEN c_custkey % 5 = 0 THEN substr(c_name, 1, 15) || '~x' "
+    "ELSE c_name END AS name, "
+    "c_mktsegment AS seg, c_nationkey AS nk FROM customer"
+)
+_Y_CUST = (
+    "SELECT c_custkey AS row_id, c_name AS name, c_mktsegment AS seg, "
+    "c_nationkey AS nk FROM customer"
+)
+
+_CFG_EXACT = MatchConfig(
+    rules=(
+        ColumnRule("name", ("name",), scorer="exact_match"),
+        ColumnRule("seg", ("seg",), scorer="exact_match"),
+    ),
+    columns_to_group={"nk": "nk"},
+)
+_CFG_FUZZY = MatchConfig(
+    rules=(
+        ColumnRule("name", ("name",), scorer="levenshtein_ratio", threshold=80.0,
+                   cutoff=True),
+        ColumnRule("seg", ("seg",), scorer="exact_match"),
+    ),
+    columns_to_group={"nk": "nk"},
+)
+_CFG_JW = MatchConfig(
+    rules=(
+        ColumnRule("name", ("name",), scorer="jaro_winkler", threshold=90.0),
+        ColumnRule("seg", ("seg",), scorer="token_set_jaccard"),
+    ),
+    columns_to_group={"nk": "nk"},
+)
+
+
+def _match_query(cfg: MatchConfig, x_sql: str, y_sql: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir, ["customer"])
+        x = spark.sql(x_sql)
+        y = spark.sql(y_sql)
+        res = resolve_matches(x, y, score_pairs(x, y, cfg), cfg, keep_debug=True)
+        return res.select(
+            F.col("row_id"),
+            F.col("match_status"),
+            F.col("row(s)_matched").alias("rows_matched"),
+            F.when(
+                F.col("__rm_final") != "unmatched",
+                F.round(F.col("__rm_best_score"), 6),
+            ).alias("best_score"),
+        )
+
+    return q
+
+
+def _match_oracle(cfg: MatchConfig, x_sql: str, y_sql: str) -> str:
+    from record_matcher_spark.plans.sql_oracle import matcher_oracle_sql
+
+    return matcher_oracle_sql(cfg, x_sql, y_sql)
+
+
+# --------------------------------------------------------------------------
+# operator-level queries with hand-written oracles
+# --------------------------------------------------------------------------
+
+
+def _q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: distinct-truthy ratio per column (records.py:49-67)."""
+    _register_views(spark, sf_dir, ["customer"])
+    df = spark.table("customer")
+    total = F.count(F.lit(1))
+
+    def u(c):
+        s = blank_coalesce(F.col(c))
+        return (F.count_distinct(F.when(s != "", s)) / total).alias(f"u_{c}")
+
+    return df.agg(u("c_name"), u("c_mktsegment"), u("c_nationkey"))
+
+
+_SQL_UNIQUENESS = """
+SELECT
+  count(DISTINCT CASE WHEN coalesce(CAST(c_name AS VARCHAR),'') <> ''
+        THEN coalesce(CAST(c_name AS VARCHAR),'') END) / count(*) AS u_c_name,
+  count(DISTINCT CASE WHEN coalesce(CAST(c_mktsegment AS VARCHAR),'') <> ''
+        THEN coalesce(CAST(c_mktsegment AS VARCHAR),'') END) / count(*) AS u_c_mktsegment,
+  count(DISTINCT CASE WHEN coalesce(CAST(c_nationkey AS VARCHAR),'') <> ''
+        THEN coalesce(CAST(c_nationkey AS VARCHAR),'') END) / count(*) AS u_c_nationkey
+FROM customer
+"""
+
+
+def _q_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: duplicate finder (records.py:135-153) on orders.o_custkey."""
+    from record_matcher_spark.operators.records_ops import duplicated_by_column
+
+    _register_views(spark, sf_dir, ["orders"])
+    return duplicated_by_column(spark.table("orders"), "o_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+_SQL_DUPLICATED = """
+SELECT o_orderkey, o_custkey FROM (
+  SELECT o_orderkey, o_custkey,
+         count(*) OVER (PARTITION BY coalesce(CAST(o_custkey AS VARCHAR),'')) AS n,
+         coalesce(CAST(o_custkey AS VARCHAR),'') AS k
+  FROM orders
+) WHERE k <> '' AND n > 1
+"""
+
+
+def _q_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 blocking as an equi-join: customer x supplier on nationkey."""
+    _register_views(spark, sf_dir, ["customer", "supplier"])
+    c = spark.table("customer")
+    s = spark.table("supplier")
+    return c.join(
+        s,
+        blank_coalesce(c["c_nationkey"]) == blank_coalesce(s["s_nationkey"]),
+        "inner",
+    ).select("c_custkey", "s_suppkey")
+
+
+_SQL_BLOCKING_JOIN = """
+SELECT c_custkey, s_suppkey
+FROM customer c JOIN supplier s
+  ON coalesce(CAST(c.c_nationkey AS VARCHAR),'')
+   = coalesce(CAST(s.s_nationkey AS VARCHAR),'')
+"""
+
+
+def _q_window_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7's argmax-with-ties: per customer, the max-totalprice order(s)
+    (matcher.py:202-208 as window algebra)."""
+    from pyspark.sql import Window
+
+    _register_views(spark, sf_dir, ["orders"])
+    o = spark.table("orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("mx", F.max("o_totalprice").over(w))
+        .where(F.col("o_totalprice") == F.col("mx"))
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("best_price"))
+    )
+
+
+_SQL_WINDOW_ARGMAX = """
+SELECT o_custkey, o_orderkey, o_totalprice AS best_price FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+  FROM orders
+) WHERE o_totalprice = mx
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash groupBy): documents + an id-shifted copy; keep
+    min(doc_id) per identical text."""
+    _register_views(spark, sf_dir, ["documents"])
+    d = spark.table("documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return (
+        d.unionByName(dup)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("kept_doc_id", "n_copies")
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+) GROUP BY text
+"""
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting over documents (whitespace tokens)."""
+    _register_views(spark, sf_dir, ["documents"])
+    d = spark.table("documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+_SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))
+    AS n_tokens,
+  len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      t -> t <> ''))) AS n_distinct_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: fuzzy match of a perturbed
+    customer table against the original with nationkey blocking."""
+    return _match_query(_CFG_FUZZY, _X_FUZZY, _Y_CUST)(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "uniqueness_agg": _q_uniqueness,
+        "duplicated_by_column": _q_duplicated,
+        "blocking_join": _q_blocking_join,
+        "window_argmax": _q_window_argmax,
+        "match_exact": _match_query(_CFG_EXACT, _X_EXACT, _Y_CUST),
+        "match_fuzzy": _match_query(_CFG_FUZZY, _X_FUZZY, _Y_CUST),
+        "match_jw": _match_query(_CFG_JW, _X_FUZZY, _Y_CUST),
+        "dedup_exact": _q_dedup_exact,
+        "doc_token_stats": _q_token_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "uniqueness_agg": _SQL_UNIQUENESS,
+        "duplicated_by_column": _SQL_DUPLICATED,
+        "blocking_join": _SQL_BLOCKING_JOIN,
+        "window_argmax": _SQL_WINDOW_ARGMAX,
+        "match_exact": _match_oracle(_CFG_EXACT, _X_EXACT, _Y_CUST),
+        "match_fuzzy": _match_oracle(_CFG_FUZZY, _X_FUZZY, _Y_CUST),
+        "match_jw": _match_oracle(_CFG_JW, _X_FUZZY, _Y_CUST),
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "doc_token_stats": _SQL_TOKEN_STATS,
+    }

@@ -178,6 +178,12 @@ def _make_pandas_scorer(py_fn: Callable[[str, str], float]):
         yv = y.fillna("").astype(str).to_numpy()
         return pd.Series([py_fn(a, b) for a, b in zip(xv, yv)], dtype="float64")
 
+    # Semantically pure — the non-deterministic flag is an optimizer fence:
+    # it stops Catalyst from duplicating the call into Filter operators
+    # (predicate pushdown would otherwise evaluate the UDF twice per pair —
+    # one ArrowEvalPython pass for the gate filter, one for the score).
+    _scorer = _scorer.asNondeterministic()
+
     def expr(x: Column, y: Column) -> Column:
         return _scorer(x, y)
 

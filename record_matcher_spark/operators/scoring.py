@@ -126,6 +126,7 @@ def score_pairs(
     require_blocking: bool = False,
     broadcast_y: bool | None = None,
     keep_column_scores: bool = False,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate generation + weighted scoring → scored-pairs DataFrame.
 
@@ -151,12 +152,22 @@ def score_pairs(
     cfg.validate(x_df.columns, y_df.columns, require_blocking=require_blocking)
 
     x = prepare_x(x_df, cfg)
+    if min_parallelism is None:
+        min_parallelism = x_df.sparkSession.sparkContext.defaultParallelism
     x_cols = [F.col(cfg.x_id).alias(XID), OPTIMAL]
     x_cols += [f"__rm_xs_{r.x_column}" for r in cfg.rules]
     x_cols += [f"__rm_w_{r.x_column}" for r in cfg.rules]
     group_x = sorted(set(cfg.columns_to_group.values()))
     x_cols += [blank_coalesce(F.col(c)).alias(f"__rm_gx_{c}") for c in group_x]
     xp = x.select(*x_cols)
+
+    # Pair scoring parallelism is bounded by the x-side partition count when
+    # the y side is broadcast (no shuffle between scan and scoring). A small
+    # parquet x (one split) would serialize the whole candidate-pair scoring
+    # onto one core — fan out first. At scale the scan already has >= target
+    # partitions and this is a no-op (no shuffle added).
+    if min_parallelism and xp.rdd.getNumPartitions() < min_parallelism:
+        xp = xp.repartition(min_parallelism)
 
     y_needed = sorted(
         {yc for r in cfg.rules for yc in r.y_columns} | set(cfg.columns_to_group)
@@ -176,13 +187,23 @@ def score_pairs(
     else:
         pairs = xp.crossJoin(yp)
 
-    # per-rule score, gate, contribution — accumulated in rule order
+    # Materialize each rule score in its own projection, then build gates /
+    # contributions over the materialized columns. pandas-UDF scorers are
+    # flagged non-deterministic (see scorers._make_pandas_scorer), so
+    # CollapseProject / PushPredicateThroughProject cannot clone the UDF
+    # call into the gate filter — each pair is scored exactly ONCE in a
+    # single ArrowEvalPython pass; Catalyst-expression scorers are free to
+    # inline (codegen CSE dedups within an operator).
+    for i, rule in enumerate(cfg.rules):
+        xs = F.col(f"__rm_xs_{rule.x_column}")
+        pairs = pairs.withColumn(f"__rm_s_{i}", _rule_score_expr(rule, xs, "__rm_ys_"))
+
+    # per-rule gate + contribution — accumulated in rule order
     row_score: Column = F.lit(0.0)
     any_gate: Column = F.lit(False)
     keep_cols = []
-    for rule in cfg.rules:
-        xs = F.col(f"__rm_xs_{rule.x_column}")
-        sc = _rule_score_expr(rule, xs, "__rm_ys_")
+    for i, rule in enumerate(cfg.rules):
+        sc = F.col(f"__rm_s_{i}")
         if rule.cutoff:
             gate = sc >= F.lit(float(rule.threshold))
         else:
