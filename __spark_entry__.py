@@ -247,6 +247,49 @@ FROM documents
 """
 
 
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive clustering (large-star/small-star CC) on per-customer
+    order chains: consecutive orders of one customer form path edges; CC
+    must traverse the chain. Closed-form oracle: component = min orderkey
+    per customer (for customers with >= 2 orders)."""
+    from pyspark.sql import Window
+
+    from record_matcher_spark.operators.cluster import connected_components
+
+    _register_views(spark, sf_dir, ["orders"])
+    o = spark.table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        o.withColumn("prev", F.lag("o_orderkey").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("o_orderkey").alias("dst"))
+    )
+    return connected_components(edges, "src", "dst").select(
+        F.col("node"), F.col("component")
+    )
+
+
+_SQL_CONNECTED_COMPONENTS = """
+SELECT o_orderkey AS node,
+       min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+FROM orders
+QUALIFY count(*) OVER (PARTITION BY o_custkey) >= 2
+"""
+
+
+def _q_transcript_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transcript ER pipeline (north star) on the deterministic
+    synthetic corpus — rows-only driver check (CC is not expressible as
+    one non-recursive SQL query); full differential coverage lives in
+    tests/test_transcripts.py against the reference-semantics oracle."""
+    from record_matcher_spark.datagen import generate_transcripts
+    from record_matcher_spark.pipeline import match_transcripts
+
+    t, _truth = generate_transcripts(spark, 300, seed=42, num_partitions=8)
+    res = match_transcripts(t.cache(), edge_mode="threshold")
+    return res.clusters
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -271,6 +314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_jw": _match_query(_CFG_JW, _X_FUZZY, _Y_CUST),
         "dedup_exact": _q_dedup_exact,
         "doc_token_stats": _q_token_stats,
+        "connected_components": _q_connected_components,
+        "transcript_clusters": _q_transcript_clusters,
     }
 
 
@@ -285,4 +330,8 @@ def oracle_sql() -> dict[str, str]:
         "match_jw": _match_oracle(_CFG_JW, _X_FUZZY, _Y_CUST),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "doc_token_stats": _SQL_TOKEN_STATS,
+        "connected_components": _SQL_CONNECTED_COMPONENTS,
+        # transcript_clusters: intentionally no oracle (iterative CC) —
+        # driver records the rows-only check; differential coverage is in
+        # tests/test_transcripts.py
     }

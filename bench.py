@@ -45,6 +45,7 @@ def main() -> None:
         "doc_token_stats",
         "window_argmax",
         "blocking_join",
+        "connected_components",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
@@ -56,6 +57,26 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # north-star throughput: transcript ER pipeline, conversations/sec.
+    # Input is generated+cached first so the timing covers the PIPELINE
+    # (rollup -> blocking -> scoring -> resolve -> CC), not datagen.
+    from record_matcher_spark.datagen import generate_transcripts
+    from record_matcher_spark.pipeline import match_transcripts
+
+    n_entities = {"0.001": 200, "0.01": 1000, "0.1": 8000}.get(sf, 8000)
+    t_df, truth = generate_transcripts(
+        spark, n_entities, seed=42, num_partitions=int(cpus) * 2
+    )
+    t_df = t_df.cache()
+    t_df.count()
+    n_convs = truth.select("conv_id").distinct().count()
+    t0 = time.perf_counter()
+    res = match_transcripts(t_df, edge_mode="threshold")
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    dt = time.perf_counter() - t0
+    timings["transcripts_match"] = round(dt, 3)
+    convs_per_sec = round(n_convs / dt, 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -65,6 +86,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "transcripts": {
+                    "conversations": n_convs,
+                    "clusters": n_clusters,
+                    "conversations_per_sec": convs_per_sec,
+                },
             }
         )
     )

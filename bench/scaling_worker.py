@@ -1,0 +1,61 @@
+"""One scaling-run worker: transcript ER pipeline at local[N].
+
+Usage: python bench/scaling_worker.py <cores> <n_entities> [seed]
+Prints one JSON line {"cores": N, "convs": C, "sec": S, "convs_per_sec": T}.
+
+Input is generated + cached before the timer starts, so the measurement
+covers the pipeline (rollup → blocking → scoring → resolve → CC) only —
+the same-input / two-parallelism evidence for the N→4N scaling-efficiency
+criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    n_entities = int(sys.argv[2])
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+
+    from record_matcher_spark.datagen import generate_transcripts
+    from record_matcher_spark.pipeline import match_transcripts
+    from record_matcher_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"rm-scaling-{cores}",
+        master=f"local[{cores}]",
+        # shuffle partitions fixed across runs: SAME plan shape/task count,
+        # only executor-thread parallelism varies (the cluster-size knob)
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_df, truth = generate_transcripts(spark, n_entities, seed=seed,
+                                       num_partitions=64)
+    t_df = t_df.cache()
+    t_df.count()
+    n_convs = truth.select("conv_id").distinct().count()
+
+    t0 = time.perf_counter()
+    res = match_transcripts(t_df, edge_mode="threshold")
+    res.clusters.select("cluster_id").distinct().count()
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "cores": cores,
+        "convs": n_convs,
+        "sec": round(dt, 2),
+        "convs_per_sec": round(n_convs / dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

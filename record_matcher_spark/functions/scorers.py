@@ -158,7 +158,12 @@ def _tokens_expr(s: Column) -> Column:
 
 
 def _expr_token_set_jaccard(x: Column, y: Column) -> Column:
-    tx, ty = _tokens_expr(x), _tokens_expr(y)
+    return _pair_token_set_jaccard(_tokens_expr(x), _tokens_expr(y))
+
+
+def _pair_token_set_jaccard(tx: Column, ty: Column) -> Column:
+    """Jaccard over pre-tokenized arrays (the ``prep`` fast path: a record
+    is tokenized once per side instead of once per candidate pair)."""
     inter = F.size(F.array_intersect(tx, ty)).cast("double")
     union = F.size(F.array_union(tx, ty)).cast("double")
     return F.when(union == 0, F.lit(100.0)).otherwise(100.0 * inter / union)
@@ -199,12 +204,21 @@ class Scorer:
     ``py`` is the oracle twin with byte-identical semantics.
     ``catalyst`` is True when the scorer is a pure Catalyst expression
     (stays inside whole-stage codegen — preferred in the hot path).
+
+    ``prep``/``pair``: optional two-phase form for scorers with expensive
+    per-value preprocessing — ``prep(col)`` runs ONCE PER RECORD on each
+    side (e.g. tokenization), ``pair(px, py)`` runs per candidate pair over
+    the prepped columns. Semantically identical to ``expr``; purely a
+    work-motion optimization (a record in a block of size B would
+    otherwise be re-preprocessed B times).
     """
 
     name: str
     expr: Callable[[Column, Column], Column]
     py: Callable[[str, str], float]
     catalyst: bool
+    prep: Callable[[Column], Column] | None = None
+    pair: Callable[[Column, Column], Column] | None = None
 
 
 SCORERS: dict[str, Scorer] = {}
@@ -215,10 +229,13 @@ def register_scorer(
     expr: Callable[[Column, Column], Column],
     py: Callable[[str, str], float],
     catalyst: bool = False,
+    prep: Callable[[Column], Column] | None = None,
+    pair: Callable[[Column, Column], Column] | None = None,
 ) -> Scorer:
     """Register a scorer by name (pluggable registry, reference
     config.py:349-400 + tests/test_config.py:194-202)."""
-    scorer = Scorer(name=name, expr=expr, py=py, catalyst=catalyst)
+    scorer = Scorer(name=name, expr=expr, py=py, catalyst=catalyst,
+                    prep=prep, pair=pair)
     SCORERS[name] = scorer
     return scorer
 
@@ -228,7 +245,12 @@ register_scorer(
     "levenshtein_ratio", _expr_levenshtein_ratio, _py_levenshtein_ratio, catalyst=True
 )
 register_scorer(
-    "token_set_jaccard", _expr_token_set_jaccard, _py_token_set_jaccard, catalyst=True
+    "token_set_jaccard",
+    _expr_token_set_jaccard,
+    _py_token_set_jaccard,
+    catalyst=True,
+    prep=_tokens_expr,
+    pair=_pair_token_set_jaccard,
 )
 register_scorer(
     "jaro_winkler",

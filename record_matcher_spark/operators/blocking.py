@@ -1,0 +1,198 @@
+"""Blocking-key derivation + candidate-pair generation.
+
+Generalizes the reference's exact-equality blocking (``columns_to_group``,
+records.py:106-132) to derived keys for the transcript payload
+(BASELINE.json north_star): normalized-token keys, role-sequence keys, and
+MinHash band keys — each an embarrassingly-parallel column expression, with
+candidates produced by equi-joins and deduped by (x_id, y_id).
+
+Scale design:
+- every key family is a pure Catalyst expression (no Python);
+- per-family block-size capping drops pathological blocks BEFORE the join
+  (a block of size B costs B^2 pairs — a single degenerate key, e.g. the
+  empty token set, would otherwise dominate the whole job);
+- hot keys (skewed blocks under the cap) are handled by AQE skew-join
+  splitting; candidate-pair dedup is one distinct on (x_id, y_id);
+- MinHash signatures use k independent xxhash64 draws folded per band, so
+  band keys are integers (cheap shuffle keys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BlockingKey:
+    """One blocking-key family.
+
+    ``expr`` maps a conversation-record DataFrame to a key Column —
+    a string/long scalar, or an array of keys when ``explode=True``
+    (e.g. MinHash bands: a record belongs to several blocks).
+    ``keyed`` (alternative to expr): full control — maps (df, id_col) to a
+    DataFrame[_id, _k] directly, for keys that are cheaper as a
+    relational plan than as one row expression (MinHash signatures).
+    ``max_block_size``: drop keys whose block exceeds this many rows on
+    either side (None = uncapped).
+    """
+
+    name: str
+    expr: Callable[[DataFrame], Column] | None = None
+    explode: bool = False
+    max_block_size: int | None = None
+    keyed: Callable[[DataFrame, str], DataFrame] | None = None
+
+
+def _tokens(col: Column) -> Column:
+    return F.array_distinct(
+        F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != F.lit(""))
+    )
+
+
+def role_seq_key(
+    column: str = "role_seq", max_block_size: int | None = 64
+) -> BlockingKey:
+    """Conversation-shape block: exact role sequence.
+
+    Capped by default: role sequences are heavy-tailed (the synthetic
+    corpus plants one hot 6-turn pattern on ~20% of conversations; real
+    agent traffic behaves the same) and an uncapped hot block of B rows
+    costs B² pairs. Recall for hot-shaped conversations comes from the
+    content-based keys (token prefix / MinHash bands)."""
+    return BlockingKey("role_seq", lambda df: F.col(column),
+                       max_block_size=max_block_size)
+
+
+def nturns_bucket_key(column: str = "n_turns", width: int = 4) -> BlockingKey:
+    """Length bucket (joins conversations of similar turn count)."""
+    return BlockingKey(
+        f"nturns{width}", lambda df: F.floor(F.col(column) / width).cast("string")
+    )
+
+
+def token_prefix_key(column: str, k: int = 3) -> BlockingKey:
+    """Normalized-token key: first k distinct lowercase tokens in sorted
+    order — robust to word order / duplication, cheap to compute."""
+
+    def expr(df: DataFrame) -> Column:
+        toks = F.slice(F.sort_array(_tokens(F.col(column))), 1, k)
+        return F.array_join(toks, " ")
+
+    return BlockingKey(f"tokpfx_{column}_{k}", expr)
+
+
+def minhash_band_keys(
+    column: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_block_size: int | None = None,
+) -> BlockingKey:
+    """MinHash LSH band keys over the token set of ``column``.
+
+    Signature: for hash i, min over tokens of xxhash64(i, token). Bands of
+    r = num_hashes/bands rows are folded into one xxhash64 integer key per
+    band. Two records with token-set Jaccard s collide in at least one
+    band with prob 1 - (1 - s^r)^b.
+
+    Implemented as explode(tokens) → groupBy(id).agg(min(hash_i)...):
+    map-side partial aggregation, no per-row array materialization (an
+    expression-level ``transform`` would allocate num_hashes × |tokens|
+    longs per row — measured as a GC storm at high thread counts), and the
+    groupBy reuses the upstream conv_id partitioning (no extra shuffle
+    after the rollup). Duplicated tokens don't change a min, so the
+    signature equals the distinct-token-set definition.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    def keyed(df: DataFrame, id_col: str) -> DataFrame:
+        ex = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_tokens(F.col(column))).alias("_t"),
+        )
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("_t"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+        sig = ex.groupBy("_id").agg(*aggs)
+        band_cols = [
+            F.xxhash64(F.lit(b), *[F.col(f"_h{i}") for i in range(b * r, (b + 1) * r)])
+            for b in range(bands)
+        ]
+        # records with an empty token set produce no exploded rows and
+        # therefore no keys (blanks never form a block)
+        return sig.select("_id", F.explode(F.array(*band_cols)).alias("_k"))
+
+    return BlockingKey(
+        f"minhash_{column}_{num_hashes}x{bands}",
+        keyed=keyed,
+        max_block_size=max_block_size,
+    )
+
+
+DEFAULT_TRANSCRIPT_KEYS: tuple[BlockingKey, ...] = (
+    role_seq_key(max_block_size=64),
+    token_prefix_key("first_user_text", 3),
+    minhash_band_keys("full_text", num_hashes=16, bands=4, max_block_size=256),
+)
+
+
+def _keyed(df: DataFrame, id_col: str, key: BlockingKey) -> DataFrame:
+    if key.keyed is not None:
+        out = key.keyed(df, id_col)
+    elif key.explode:
+        out = df.select(
+            F.col(id_col).alias("_id"), F.explode(key.expr(df)).alias("_k")
+        )
+    else:
+        out = df.select(F.col(id_col).alias("_id"), key.expr(df).alias("_k"))
+    out = out.where(F.col("_k").isNotNull() & (F.col("_k").cast("string") != ""))
+    if key.max_block_size:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_k")
+        out = (
+            out.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= key.max_block_size)
+            .drop("_n")
+        )
+    return out
+
+
+def candidate_pairs(
+    x_df: DataFrame,
+    y_df: DataFrame | None,
+    keys: Sequence[BlockingKey] = DEFAULT_TRANSCRIPT_KEYS,
+    *,
+    x_id: str = "conv_id",
+    y_id: str = "conv_id",
+    dedup_mode: bool = False,
+) -> DataFrame:
+    """Union of per-key equi-join candidates, deduped → [x_id, y_id].
+
+    ``dedup_mode`` (y_df=None or y_df is x_df): self-join candidates with
+    x_id < y_id — no identity pairs, each unordered pair once.
+    """
+    if y_df is None:
+        y_df = x_df
+        dedup_mode = True
+
+    fams = []
+    for key in keys:
+        kx = _keyed(x_df, x_id, key)
+        ky = _keyed(y_df, y_id, key)
+        joined = kx.join(ky, "_k").select(
+            kx["_id"].alias("x_id"), ky["_id"].alias("y_id")
+        )
+        fams.append(joined)
+    out = fams[0]
+    for f in fams[1:]:
+        out = out.unionByName(f)
+    if dedup_mode:
+        out = out.where(F.col("x_id") < F.col("y_id"))
+    return out.distinct()

@@ -64,13 +64,55 @@ def uniqueness_by_columns(
 
 
 def _rule_score_expr(rule, xs: Column, y_prefix: str) -> Column:
-    """max-over-y-columns scorer score for one rule (matcher.py:74-84)."""
+    """max-over-y-columns scorer score for one rule (matcher.py:74-84).
+
+    Scorers with a ``prep`` phase read the pre-tokenized per-record columns
+    (``__rm_xp_*`` / ``__rm_yp_*``) instead of re-preprocessing per pair.
+    """
     scorer = SCORERS[rule.scorer]
     if not rule.y_columns:
         # reference: max(column_scores) if column_scores else 0 (matcher.py:84)
         return F.lit(0.0)
-    exprs = [scorer.expr(xs, F.col(f"{y_prefix}{yc}")) for yc in rule.y_columns]
+    if scorer.prep is not None:
+        xp = F.col(f"__rm_xp_{rule.x_column}")
+        exprs = [
+            scorer.pair(xp, F.col(f"__rm_yp_{rule.scorer}_{yc}"))
+            for yc in rule.y_columns
+        ]
+    else:
+        exprs = [scorer.expr(xs, F.col(f"{y_prefix}{yc}")) for yc in rule.y_columns]
     return exprs[0] if len(exprs) == 1 else F.greatest(*exprs)
+
+
+def _x_side_columns(cfg: MatchConfig) -> list:
+    """Projection list for the prepared x side (id, optimal, normalized
+    strings, prepped values, weights)."""
+    cols = [F.col(cfg.x_id).alias(XID), OPTIMAL]
+    cols += [f"__rm_xs_{r.x_column}" for r in cfg.rules]
+    cols += [
+        f"__rm_xp_{r.x_column}"
+        for r in cfg.rules
+        if SCORERS[r.scorer].prep is not None
+    ]
+    cols += [f"__rm_w_{r.x_column}" for r in cfg.rules]
+    return cols
+
+
+def _y_side(y_df: DataFrame, cfg: MatchConfig, extra: Iterable[str] = ()) -> DataFrame:
+    """Prepared y projection: id, normalized strings, prepped values."""
+    y_needed = sorted({yc for r in cfg.rules for yc in r.y_columns} | set(extra))
+    y_cols = [F.col(cfg.y_id).alias(YID)]
+    y_cols += [blank_coalesce(F.col(c)).alias(f"__rm_ys_{c}") for c in y_needed]
+    seen: set[str] = set()
+    for r in cfg.rules:
+        scorer = SCORERS[r.scorer]
+        if scorer.prep is not None:
+            for yc in r.y_columns:
+                name = f"__rm_yp_{r.scorer}_{yc}"
+                if name not in seen:
+                    seen.add(name)
+                    y_cols.append(scorer.prep(blank_coalesce(F.col(yc))).alias(name))
+    return y_df.select(*y_cols)
 
 
 def prepare_x(
@@ -96,6 +138,9 @@ def prepare_x(
     for rule in cfg.rules:
         xs = blank_coalesce(F.col(rule.x_column))
         out = out.withColumn(f"__rm_xs_{rule.x_column}", xs)
+        scorer = SCORERS[rule.scorer]
+        if scorer.prep is not None:
+            out = out.withColumn(f"__rm_xp_{rule.x_column}", scorer.prep(xs))
         nonblank[rule.x_column] = xs != ""
 
     # u_sum = sum of u_c over this row's non-blank match columns, rule order
@@ -154,9 +199,7 @@ def score_pairs(
     x = prepare_x(x_df, cfg)
     if min_parallelism is None:
         min_parallelism = x_df.sparkSession.sparkContext.defaultParallelism
-    x_cols = [F.col(cfg.x_id).alias(XID), OPTIMAL]
-    x_cols += [f"__rm_xs_{r.x_column}" for r in cfg.rules]
-    x_cols += [f"__rm_w_{r.x_column}" for r in cfg.rules]
+    x_cols = _x_side_columns(cfg)
     group_x = sorted(set(cfg.columns_to_group.values()))
     x_cols += [blank_coalesce(F.col(c)).alias(f"__rm_gx_{c}") for c in group_x]
     xp = x.select(*x_cols)
@@ -169,12 +212,7 @@ def score_pairs(
     if min_parallelism and xp.rdd.getNumPartitions() < min_parallelism:
         xp = xp.repartition(min_parallelism)
 
-    y_needed = sorted(
-        {yc for r in cfg.rules for yc in r.y_columns} | set(cfg.columns_to_group)
-    )
-    y_cols = [F.col(cfg.y_id).alias(YID)]
-    y_cols += [blank_coalesce(F.col(c)).alias(f"__rm_ys_{c}") for c in y_needed]
-    yp = y_df.select(*y_cols)
+    yp = _y_side(y_df, cfg, extra=cfg.columns_to_group)
     if broadcast_y:
         yp = F.broadcast(yp)
 
@@ -187,13 +225,22 @@ def score_pairs(
     else:
         pairs = xp.crossJoin(yp)
 
-    # Materialize each rule score in its own projection, then build gates /
-    # contributions over the materialized columns. pandas-UDF scorers are
-    # flagged non-deterministic (see scorers._make_pandas_scorer), so
-    # CollapseProject / PushPredicateThroughProject cannot clone the UDF
-    # call into the gate filter — each pair is scored exactly ONCE in a
-    # single ArrowEvalPython pass; Catalyst-expression scorers are free to
-    # inline (codegen CSE dedups within an operator).
+    return _apply_scoring(pairs, cfg, keep_column_scores)
+
+
+def _apply_scoring(
+    pairs: DataFrame, cfg: MatchConfig, keep_column_scores: bool = False
+) -> DataFrame:
+    """Scoring tail shared by score_pairs / score_candidate_pairs.
+
+    Materializes each rule score in its own projection, then builds gates /
+    contributions over the materialized columns. pandas-UDF scorers are
+    flagged non-deterministic (see scorers._make_pandas_scorer), so
+    CollapseProject / PushPredicateThroughProject cannot clone the UDF
+    call into the gate filter — each pair is scored exactly ONCE in a
+    single ArrowEvalPython pass; Catalyst-expression scorers are free to
+    inline (codegen CSE dedups within an operator).
+    """
     for i, rule in enumerate(cfg.rules):
         xs = F.col(f"__rm_xs_{rule.x_column}")
         pairs = pairs.withColumn(f"__rm_s_{i}", _rule_score_expr(rule, xs, "__rm_ys_"))
@@ -222,3 +269,37 @@ def score_pairs(
         *keep_cols,
     ]
     return pairs.where(any_gate).select(*out_cols)
+
+
+def score_candidate_pairs(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    candidates: DataFrame,
+    cfg: MatchConfig,
+    *,
+    keep_column_scores: bool = False,
+) -> DataFrame:
+    """Score an explicit candidate-pair set (from operators.blocking)
+    instead of deriving candidates from ``cfg.columns_to_group``.
+
+    ``candidates``: DataFrame[x_id, y_id] (deduped). This is the scale
+    path: derived blocking keys (role-seq / token / MinHash bands) replace
+    the reference's exact-equality grouping, and the F1 target is defined
+    *under identical blocking keys* (BASELINE.json), so the oracle consumes
+    the same candidate set.
+
+    Two shuffle-joins (candidates↔x on x_id, result↔y on y_id), both plain
+    equi-joins AQE can re-plan (broadcast when a side is small, skew-split
+    on hot ids).
+    """
+    cfg.validate(x_df.columns, y_df.columns)
+
+    x = prepare_x(x_df, cfg)
+    xp = x.select(*_x_side_columns(cfg))
+    yp = _y_side(y_df, cfg)
+
+    cand = candidates.select(
+        F.col("x_id").alias(XID), F.col("y_id").alias(YID)
+    )
+    pairs = cand.join(xp, XID).join(yp, YID)
+    return _apply_scoring(pairs, cfg, keep_column_scores)

@@ -49,16 +49,27 @@ def oracle_uniqueness(x_records: Records, column: str) -> float:
 
 
 def oracle_score_pairs(
-    x_records: Records, y_records: Records, cfg: MatchConfig
+    x_records: Records,
+    y_records: Records,
+    cfg: MatchConfig,
+    candidates: dict | None = None,
 ) -> dict[int, dict[int, float]]:
     """{x_index: {y_index: row_score}} for every pair that 'entered'
     scoring (some column gate passed), plus per-x optimal thresholds via
-    :func:`oracle_optimal`."""
+    :func:`oracle_optimal`.
+
+    ``candidates``: optional explicit candidate map {x_key: iterable of
+    y_keys} replacing columns_to_group blocking (the engine's
+    score_candidate_pairs path — F1 is defined under identical blocking
+    keys, BASELINE.json)."""
     u = {r.x_column: oracle_uniqueness(x_records, r.x_column) for r in cfg.rules}
     out: dict[int, dict[int, float]] = {}
     for xi, x in x_records.items():
         w = _weights(x, cfg, u)
-        cand = _blocked(y_records, x, cfg)
+        if candidates is not None:
+            cand = {yi: y_records[yi] for yi in candidates.get(xi, ())}
+        else:
+            cand = _blocked(y_records, x, cfg)
         scores: dict[int, float] = {}
         for rule in cfg.rules:
             py = SCORERS[rule.scorer].py
@@ -113,15 +124,30 @@ def _blocked(
 
 
 def oracle_match(
-    x_records: Records, y_records: Records, cfg: MatchConfig
+    x_records: Records,
+    y_records: Records,
+    cfg: MatchConfig,
+    candidates: dict | None = None,
 ) -> tuple[Records, dict[str, int], dict[str, int]]:
     """Full pipeline → (annotated records, final summary, ref-compat summary).
 
     Statuses use the reference display vocabulary (matcher.py:269-275);
     annotation column names per matcher.py:277-281.
     """
+    result, final, final_summary, compat, _claims = _oracle_match_full(
+        x_records, y_records, cfg, candidates
+    )
+    return result, final_summary, compat
+
+
+def _oracle_match_full(
+    x_records: Records,
+    y_records: Records,
+    cfg: MatchConfig,
+    candidates: dict | None = None,
+):
     u = {r.x_column: oracle_uniqueness(x_records, r.x_column) for r in cfg.rules}
-    all_scores = oracle_score_pairs(x_records, y_records, cfg)
+    all_scores = oracle_score_pairs(x_records, y_records, cfg, candidates)
 
     result: Records = {xi: dict(x) for xi, x in x_records.items()}
     phase1: dict[int, str] = {}
@@ -200,4 +226,64 @@ def oracle_match(
     for xi, st in final.items():
         if st != phase1[xi]:
             compat[st] = compat.get(st, 0) + 1
-    return result, final_summary, compat
+    return result, final, final_summary, compat, claim
+
+
+# --------------------------------------------------------------------------
+# clustering oracle (north-star: best-match/tie-break semantics before CC)
+# --------------------------------------------------------------------------
+
+
+def oracle_union_find(nodes, edges) -> dict:
+    """Connected components with min-id labels (oracle for
+    operators.cluster.connected_components)."""
+    parent = {n: n for n in nodes}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def oracle_clusters(
+    records: Records,
+    cfg: MatchConfig,
+    candidates: dict,
+    edge_statuses: tuple[str, ...] = ("matched", "review"),
+) -> dict:
+    """Dedup-mode clustering oracle: reference match semantics (directed,
+    incl. duplicate resolution) on the given candidate map, edges from
+    single-survivor claims with final status in ``edge_statuses``,
+    connected components with min-id labels."""
+    _res, final, _fs, _cc, claims = _oracle_match_full(
+        records, records, cfg, candidates
+    )
+    edges = [
+        (xi, yi) for xi, (yi, _s) in claims.items() if final[xi] in edge_statuses
+    ]
+    return oracle_union_find(list(records), edges)
+
+
+def oracle_threshold_clusters(
+    records: Records, cfg: MatchConfig, candidates: dict
+) -> dict:
+    """Threshold-mode clustering oracle (pipeline edge_mode='threshold'):
+    every scored pair >= required_threshold is an edge."""
+    scores = oracle_score_pairs(records, records, cfg, candidates)
+    edges = [
+        (xi, yi)
+        for xi, d in scores.items()
+        for yi, s in d.items()
+        if xi != yi and s >= cfg.required_threshold
+    ]
+    return oracle_union_find(list(records), edges)

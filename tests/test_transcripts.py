@@ -1,0 +1,169 @@
+"""Transcript pipeline tests: datagen determinism, rollup invariant,
+connected components vs union-find oracle, end-to-end cluster agreement
+with the reference-semantics oracle, pairwise F1."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from record_matcher_spark.datagen import generate_transcripts
+from record_matcher_spark.operators.blocking import (
+    DEFAULT_TRANSCRIPT_KEYS,
+    candidate_pairs,
+)
+from record_matcher_spark.operators.cluster import connected_components
+from record_matcher_spark.operators.rollup import (
+    explode_turns,
+    rollup_conversations,
+)
+from record_matcher_spark.oracle import oracle_clusters, oracle_union_find
+from record_matcher_spark.pipeline import (
+    default_transcript_match_config,
+    match_transcripts,
+    pairwise_f1,
+)
+
+N_ENTITIES = 60
+SEED = 7
+
+
+def _corpus(spark):
+    t, truth = generate_transcripts(spark, N_ENTITIES, seed=SEED, num_partitions=4)
+    return t.cache(), truth.cache()
+
+
+def test_datagen_deterministic(spark):
+    t1, _ = generate_transcripts(spark, 20, seed=3, num_partitions=2)
+    t2, _ = generate_transcripts(spark, 20, seed=3, num_partitions=5)
+    r1 = sorted(map(tuple, t1.collect()))
+    r2 = sorted(map(tuple, t2.collect()))
+    assert r1 == r2  # partitioning-independent
+    assert len(r1) > 100
+    t3, _ = generate_transcripts(spark, 20, seed=4, num_partitions=2)
+    assert sorted(map(tuple, t3.collect())) != r1
+
+
+def test_rollup_roundtrip_invariant(spark):
+    """Per-turn text equality under stable turn ordering (input_hint)."""
+    t, _ = _corpus(spark)
+    conv = rollup_conversations(t)
+    back = explode_turns(conv)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    a = sorted(map(tuple, t.select(*cols).collect()))
+    b = sorted(map(tuple, back.select(*cols).collect()))
+    assert a == b
+
+
+def test_rollup_derived_columns(spark):
+    t, _ = _corpus(spark)
+    conv = rollup_conversations(t)
+    row = conv.where(F.col("n_turns") >= 3).first()
+    assert row["full_text"].count("\n") == row["n_turns"] - 1
+    assert row["role_seq"].split(">")[0] in ("user", "assistant", "tool", "bot")
+    first_user = [
+        tr["text"] for tr in sorted(row["turns"], key=lambda r: r["turn_idx"])
+        if tr["role"] == "user"
+    ]
+    assert row["first_user_text"] == (first_user[0] if first_user else "")
+
+
+def test_connected_components_vs_union_find(spark):
+    rng = random.Random(99)
+    for trial in range(3):
+        n = 60
+        nodes = [f"n{i:03d}" for i in range(n)]
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(rng.randint(10, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        edf = spark.createDataFrame(edges or [("n000", "n001")], "src string, dst string")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edf, "src", "dst").collect()
+        }
+        edge_nodes = {a for a, _ in edges} | {b for _, b in edges} or {"n000", "n001"}
+        exp = oracle_union_find(sorted(edge_nodes), edges or [("n000", "n001")])
+        assert got == exp, f"trial {trial}"
+
+
+def test_blocking_recall_and_determinism(spark):
+    t, truth = _corpus(spark)
+    conv = rollup_conversations(t)
+    cand = candidate_pairs(conv, conv, DEFAULT_TRANSCRIPT_KEYS)
+    c1 = set(map(tuple, cand.collect()))
+    c2 = set(map(tuple, candidate_pairs(conv, conv, DEFAULT_TRANSCRIPT_KEYS).collect()))
+    assert c1 == c2  # deterministic keys
+    # blocking recall over same-entity unordered pairs
+    tr = {r["conv_id"]: r["entity_id"] for r in truth.collect()}
+    ents: dict[str, list[str]] = {}
+    for c, e in tr.items():
+        ents.setdefault(e, []).append(c)
+    pos = {
+        (min(a, b), max(a, b))
+        for convs in ents.values()
+        for i, a in enumerate(convs)
+        for b in convs[i + 1 :]
+    }
+    cand_unordered = {(min(a, b), max(a, b)) for a, b in c1 if a != b}
+    if pos:
+        recall = len(pos & cand_unordered) / len(pos)
+        assert recall > 0.8, f"blocking recall {recall}"
+
+
+def test_pipeline_matches_oracle_clusters(spark):
+    """Engine clusters must equal the reference-semantics oracle clusters
+    exactly (pairwise F1 = 1.0 vs oracle >= the 0.99 bar); and F1 vs
+    entity truth under identical blocking keys stays high."""
+    t, truth = _corpus(spark)
+    cfg = default_transcript_match_config()
+    res = match_transcripts(t, cfg)
+
+    got_clusters = {
+        r["conv_id"]: r["cluster_id"] for r in res.clusters.collect()
+    }
+
+    # oracle on the same conversation records + same candidate set
+    conv_rows = res.conversations.drop("turns", "ts_min", "n_turns").collect()
+    records = {
+        r["conv_id"]: {k: v for k, v in r.asDict().items() if k != "conv_id"}
+        for r in conv_rows
+    }
+    cand_map: dict[str, set] = {}
+    for r in res.candidates.collect():
+        cand_map.setdefault(r["x_id"], set()).add(r["y_id"])
+    exp_clusters = oracle_clusters(records, cfg, cand_map)
+
+    # compare as partitions (label = min member both sides)
+    assert got_clusters == exp_clusters
+
+
+def test_pipeline_threshold_mode_f1(spark):
+    """Threshold edge mode: engine clusters equal the threshold-mode oracle
+    AND recover the planted entities (F1 vs truth under identical blocking
+    keys)."""
+    from record_matcher_spark.oracle import oracle_threshold_clusters
+
+    t, truth = _corpus(spark)
+    cfg = default_transcript_match_config()
+    res = match_transcripts(t, cfg, edge_mode="threshold")
+
+    got_clusters = {
+        r["conv_id"]: r["cluster_id"] for r in res.clusters.collect()
+    }
+    conv_rows = res.conversations.drop("turns", "ts_min", "n_turns").collect()
+    records = {
+        r["conv_id"]: {k: v for k, v in r.asDict().items() if k != "conv_id"}
+        for r in conv_rows
+    }
+    cand_map: dict[str, set] = {}
+    for r in res.candidates.collect():
+        cand_map.setdefault(r["x_id"], set()).add(r["y_id"])
+    exp_clusters = oracle_threshold_clusters(records, cfg, cand_map)
+    assert got_clusters == exp_clusters
+
+    metrics = pairwise_f1(res.clusters, truth, res.candidates)
+    assert metrics["f1"] >= 0.95, metrics
+    assert metrics["precision"] >= 0.95, metrics
