@@ -247,6 +247,122 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline operators (operators/{dedup,similarity,text,
+# multimodal}) — each Spark query has a generated DuckDB twin built from
+# the same hash/plane literals (functions/texthash), so value hashes match
+# exactly.
+# --------------------------------------------------------------------------
+
+_EMB_QUERIES_SQL = "SELECT * FROM embeddings WHERE vec_id < 10"
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.dedup import minhash_lsh_pairs
+
+    _register_views(spark, sf_dir, ["documents"])
+    return minhash_lsh_pairs(
+        spark.table("documents"), "doc_id", "text", threshold=0.3
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.dedup import simhash_pairs
+
+    _register_views(spark, sf_dir, ["documents"])
+    return simhash_pairs(spark.table("documents"), "doc_id", "text", 3)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.dedup import ngram_jaccard_pairs
+
+    _register_views(spark, sf_dir, ["documents"])
+    return ngram_jaccard_pairs(
+        spark.table("documents"), "doc_id", "text",
+        threshold=0.55, block_col="lang",
+    )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.dedup import embedding_near_dup
+
+    _register_views(spark, sf_dir, ["embeddings"])
+    return embedding_near_dup(
+        spark.table("embeddings"), "vec_id", "embedding", threshold=0.35
+    )
+
+
+_SQL_EMBEDDING_NEAR_DUP_TMPL = """
+WITH base AS (
+  SELECT vec_id AS id, embedding AS v, sqrt({dot_vv}) AS nrm
+  FROM embeddings
+), nz AS (SELECT * FROM base WHERE nrm > 0)
+SELECT a.id AS id_a, b.id AS id_b, {q6cos} AS cosine
+FROM nz a, nz b
+WHERE a.id < b.id AND {q6cos} >= 0.35
+"""
+
+
+def _sql_embedding_near_dup() -> str:
+    from record_matcher_spark.functions.texthash import q6_sql
+    from record_matcher_spark.operators.similarity import dot_sql
+
+    dot_ab = dot_sql("a.v", "b.v")
+    return _SQL_EMBEDDING_NEAR_DUP_TMPL.format(
+        dot_vv=dot_sql("embedding", "embedding"),
+        q6cos=q6_sql(f"{dot_ab} / (a.nrm * b.nrm)"),
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.similarity import cosine_topk
+
+    _register_views(spark, sf_dir, ["embeddings"])
+    e = spark.table("embeddings")
+    return cosine_topk(e, e.where("vec_id < 10"), "vec_id", "embedding", 5)
+
+
+def _q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.similarity import srp_lsh_topk
+
+    _register_views(spark, sf_dir, ["embeddings"])
+    e = spark.table("embeddings")
+    return srp_lsh_topk(e, e.where("vec_id < 10"), "vec_id", "embedding", 5)
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.text import language_id
+
+    _register_views(spark, sf_dir, ["documents"])
+    return language_id(spark.table("documents"), "doc_id", "text")
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.text import quality_score
+
+    _register_views(spark, sf_dir, ["documents"])
+    return quality_score(spark.table("documents"), "doc_id", "text")
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.text import fingerprints
+
+    _register_views(spark, sf_dir, ["documents"])
+    return fingerprints(spark.table("documents"), "doc_id", "text")
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.multimodal import (
+        attach_media,
+        extract_media_features,
+    )
+
+    _register_views(spark, sf_dir, ["documents"])
+    return extract_media_features(
+        attach_media(spark.table("documents"), "doc_id", "text")
+    )
+
+
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive clustering (large-star/small-star CC) on per-customer
     order chains: consecutive orders of one customer form path edges; CC
@@ -290,6 +406,43 @@ def _q_transcript_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.clusters
 
 
+def _dataops_oracles() -> dict[str, str]:
+    from record_matcher_spark.operators import dedup, similarity
+    from record_matcher_spark.operators import multimodal
+    from record_matcher_spark.operators import text as text_ops
+
+    return {
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_oracle_sql(
+            "documents", "doc_id", "text", threshold=0.3
+        ),
+        "dedup_simhash": dedup.simhash_pairs_oracle_sql(
+            "documents", "doc_id", "text", 3
+        ),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(
+            "documents", "doc_id", "text", 3, 0.55, "lang"
+        ),
+        "dedup_embedding_cosine": _sql_embedding_near_dup(),
+        "ann_cosine_topk": similarity.cosine_topk_oracle_sql(
+            "embeddings", _EMB_QUERIES_SQL, "vec_id", "embedding", 5
+        ),
+        "ann_srp_lsh_topk": similarity.srp_lsh_topk_oracle_sql(
+            "embeddings", _EMB_QUERIES_SQL, "vec_id", "embedding", 5
+        ),
+        "doc_language_id": text_ops.language_id_oracle_sql(
+            "documents", "doc_id", "text"
+        ),
+        "doc_quality_score": text_ops.quality_score_oracle_sql(
+            "documents", "doc_id", "text"
+        ),
+        "doc_fingerprints": text_ops.fingerprints_oracle_sql(
+            "documents", "doc_id", "text"
+        ),
+        "media_features": multimodal.media_features_oracle_sql(
+            "documents", "doc_id", "text"
+        ),
+    }
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -316,6 +469,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": _q_token_stats,
         "connected_components": _q_connected_components,
         "transcript_clusters": _q_transcript_clusters,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
+        "ann_cosine_topk": _q_cosine_topk,
+        "ann_srp_lsh_topk": _q_srp_lsh_topk,
+        "doc_language_id": _q_language_id,
+        "doc_quality_score": _q_quality_score,
+        "doc_fingerprints": _q_fingerprints,
+        "media_features": _q_media_features,
     }
 
 
@@ -331,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "doc_token_stats": _SQL_TOKEN_STATS,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
+        **_dataops_oracles(),
         # transcript_clusters: intentionally no oracle (iterative CC) —
         # driver records the rows-only check; differential coverage is in
         # tests/test_transcripts.py

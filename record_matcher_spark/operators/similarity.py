@@ -1,0 +1,304 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Not in the reference (pure string matcher); required by the training-data
+pipeline mandate. Two paths over ``array<float>`` vectors:
+
+- ``cosine_topk``       brute-force exact top-k (baseline / verifier)
+- ``srp_lsh_topk``      signed-random-projection LSH buckets + rerank
+                        (the 100 TB path: candidates come from an
+                        equi-join on integer bucket keys, so the cross
+                        join never materializes)
+
+FP parity with the DuckDB oracle: dot products accumulate in ascending
+index order in BOTH engines (Spark ``aggregate`` over ``zip_with``;
+DuckDB ``list_reduce`` over an index ``range``) and results are rounded
+to 6 dp before comparison, so value hashes agree.
+
+SRP hyperplane coefficients are deterministic (seeded) and embedded as
+literals in the Spark plan and in the generated oracle SQL — the same
+buckets fall out of both engines.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from record_matcher_spark.functions import texthash as TH
+
+
+def _planes(num_planes: int, dim: int) -> list[list[float]]:
+    rng = random.Random(0x51AE)
+    # 3-dp literals: short SQL, exactly representable comparisons are not
+    # needed (sign of a dot product only), but identical literals in both
+    # engines ARE.
+    return [
+        [round(rng.uniform(-1.0, 1.0), 3) for _ in range(dim)]
+        for _ in range(num_planes)
+    ]
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Index-ascending sequential dot product (FP-order pinned)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_id: str | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: -> [q_id, n_id, cosine, rank].
+
+    Plan: the (small) query side is broadcast; the corpus streams through
+    one scan; per-query top-k is a window over (q_id) ordered by
+    (cosine desc, n_id) — deterministic under ties. At scale the corpus
+    side stays partition-parallel with no shuffle until the final top-k,
+    which AQE handles as a skewless window over q_id.
+    """
+    query_id = query_id or id_col
+    nrm = lambda v: F.sqrt(dot_expr(v, v))  # noqa: E731
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        nrm(F.col(vec_col)).alias("qn"),
+    ).where(F.col("qn") > 0)
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("cv"),
+        nrm(F.col(vec_col)).alias("cn"),
+    ).where(F.col("cn") > 0)
+    cos = TH.q6_expr(dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_oracle_sql(
+    corpus_table: str,
+    queries_sql: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_id: str | None = None,
+) -> str:
+    query_id = query_id or id_col
+    dot = dot_sql("q.qv", "c.cv")
+    q6cos = TH.q6_sql(f"{dot} / (q.qn * c.cn)")
+    return f"""
+WITH q AS (
+  SELECT {query_id} AS q_id, {vec_col} AS qv,
+         sqrt({dot_sql(vec_col, vec_col)}) AS qn
+  FROM ({queries_sql})
+), c AS (
+  SELECT {id_col} AS n_id, {vec_col} AS cv,
+         sqrt({dot_sql(vec_col, vec_col)}) AS cn
+  FROM {corpus_table}
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q.q_id, c.n_id,
+         {q6cos} AS cosine,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY {q6cos} DESC, c.n_id ASC
+         ) AS rank
+  FROM c, q
+  WHERE q.qn > 0 AND c.cn > 0 AND q.q_id <> c.n_id
+) WHERE rank <= {k}
+"""
+
+
+def srp_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: bit i = sign(<v, plane_i>)."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in p]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def srp_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    terms = []
+    for i, p in enumerate(planes):
+        lits = "[" + ", ".join(repr(x) for x in p) + "]"
+        d = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, len({vec}) + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lits})[i])), "
+            "(acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"CASE WHEN {d} > 0 THEN CAST({1 << i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _table_planes(
+    num_tables: int, planes_per_table: int, dim: int
+) -> list[list[list[float]]]:
+    all_planes = _planes(num_tables * planes_per_table, dim)
+    return [
+        all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+        for t in range(num_tables)
+    ]
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_tables: int = 8,
+    planes_per_table: int = 3,
+    dim: int = 64,
+    query_id: str | None = None,
+) -> DataFrame:
+    """ANN top-k: multi-table SRP-LSH candidates + exact cosine rerank
+    -> [q_id, n_id, cosine, rank].
+
+    ``num_tables`` independent hash tables of ``planes_per_table`` planes
+    each: a candidate collides with the query in >= 1 table. For neighbor
+    angle θ, P(candidate) = 1 - (1 - (1-θ/π)^p)^L — a single wide table
+    (p=8) has near-zero recall at θ ~ 60°, the 8x3 default ~0.9.
+
+    The cross join becomes an equi-join on (table, bucket) int keys: at
+    100 TB the corpus is hash-partitioned by bucket, each bucket scans
+    independently, and candidate dedup is one distinct. Approximate by
+    construction — recall vs ``cosine_topk`` is asserted in tests, and the
+    oracle replicates the SAME tables/buckets so the driver check is exact.
+    """
+    query_id = query_id or id_col
+    tables = _table_planes(num_tables, planes_per_table, dim)
+    nrm = lambda v: F.sqrt(dot_expr(v, v))  # noqa: E731
+
+    def keyed(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        buckets = F.array(
+            *[srp_bucket_expr(F.col(vec_col), planes) for planes in tables]
+        )
+        base = df.select(
+            F.col(idc).alias(out_id),
+            nrm(F.col(vec_col)).alias("_n"),
+            F.posexplode(buckets).alias("tbl", "bucket"),
+        ).where(F.col("_n") > 0)
+        return base.select(out_id, "tbl", "bucket")
+
+    q = keyed(queries, query_id, "q_id")
+    c = keyed(corpus, id_col, "n_id")
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        nrm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("cv"),
+        nrm(F.col(vec_col)).alias("cn"),
+    )
+    cos = TH.q6_expr(
+        dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "n_id")
+        .select("q_id", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def srp_lsh_topk_oracle_sql(
+    corpus_table: str,
+    queries_sql: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_tables: int = 8,
+    planes_per_table: int = 3,
+    dim: int = 64,
+    query_id: str | None = None,
+) -> str:
+    query_id = query_id or id_col
+    tables = _table_planes(num_tables, planes_per_table, dim)
+    nrm = f"sqrt({dot_sql(vec_col, vec_col)})"
+    qk = "\n  UNION ALL\n  ".join(
+        f"SELECT q_id, {t} AS tbl, {srp_bucket_sql('qv0', planes)} AS bucket "
+        "FROM q0"
+        for t, planes in enumerate(tables)
+    )
+    ck = "\n  UNION ALL\n  ".join(
+        f"SELECT n_id, {t} AS tbl, {srp_bucket_sql('cv0', planes)} AS bucket "
+        "FROM c0"
+        for t, planes in enumerate(tables)
+    )
+    dot = dot_sql("qv.qv", "cv.cv")
+    q6cos = TH.q6_sql(f"{dot} / (qv.qn * cv.cn)")
+    return f"""
+WITH q0 AS (
+  SELECT {query_id} AS q_id, {vec_col} AS qv0, {nrm} AS qn0
+  FROM ({queries_sql}) WHERE {nrm} > 0
+), c0 AS (
+  SELECT {id_col} AS n_id, {vec_col} AS cv0, {nrm} AS cn0
+  FROM {corpus_table} WHERE {nrm} > 0
+), qk AS (
+  {qk}
+), ck AS (
+  {ck}
+), cand AS (
+  SELECT DISTINCT qk.q_id, ck.n_id
+  FROM ck JOIN qk ON ck.tbl = qk.tbl AND ck.bucket = qk.bucket
+  WHERE qk.q_id <> ck.n_id
+), qv AS (SELECT q_id, qv0 AS qv, qn0 AS qn FROM q0),
+cv AS (SELECT n_id, cv0 AS cv, cn0 AS cn FROM c0)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT cand.q_id, cand.n_id,
+         {q6cos} AS cosine,
+         row_number() OVER (
+           PARTITION BY cand.q_id
+           ORDER BY {q6cos} DESC, cand.n_id ASC
+         ) AS rank
+  FROM cand JOIN qv ON qv.q_id = cand.q_id
+            JOIN cv ON cv.n_id = cand.n_id
+) WHERE rank <= {k}
+"""

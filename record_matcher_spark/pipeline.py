@@ -75,6 +75,7 @@ def match_transcripts(
     edge_mode: str = "best_match",
     edge_statuses: tuple[str, ...] = ("matched", "review"),
     cache: bool = True,
+    store=None,
 ) -> TranscriptMatchResult:
     """Dedup-mode pipeline: every conversation is matched against its
     blocked candidates (directed, reference semantics incl. duplicate
@@ -95,23 +96,34 @@ def match_transcripts(
     if edge_mode not in ("best_match", "threshold"):
         raise ValueError(f"unknown edge_mode {edge_mode!r}")
     cfg = cfg or default_transcript_match_config()
-    conv = rollup_conversations(transcripts)
-    if cache:
-        # conv feeds blocking (xN key families), x-side prep (incl. the
-        # eager uniqueness aggregate), y-side prep, and the final cluster
-        # join — without persistence the rollup groupBy (and whatever
-        # lineage feeds it) re-executes for every consumer. At real scale
-        # the equivalent is a checkpointed stage write (see sources).
-        conv = conv.persist()
+    cfg_key = repr(cfg)
+    key_names = [k.name for k in keys]
 
-    cand = candidate_pairs(conv, conv, keys, x_id=cfg.x_id, y_id=cfg.y_id).where(
-        F.col("x_id") != F.col("y_id")
+    def _stage(name: str, build, config=None):
+        """store: committed Iceberg/parquet write (resumable across runs);
+        else persist: in-memory for this session. Both cut re-execution —
+        conv feeds blocking (xN key families), x-side prep (incl. the
+        eager uniqueness aggregate), y-side prep, and the final cluster
+        join; without materialization the rollup groupBy re-executes for
+        every consumer."""
+        if store is not None:
+            return store.run_stage(name, build, config=config)
+        df = build()
+        return df.persist() if cache else df
+
+    conv = _stage("conversations", lambda: rollup_conversations(transcripts))
+    cand = _stage(
+        "candidates",
+        lambda: candidate_pairs(
+            conv, conv, keys, x_id=cfg.x_id, y_id=cfg.y_id
+        ).where(F.col("x_id") != F.col("y_id")),
+        config=key_names,
     )
-    if cache:
-        cand = cand.persist()
-    pairs = score_candidate_pairs(conv, conv, cand, cfg)
-    if cache:
-        pairs = pairs.persist()
+    pairs = _stage(
+        "pairs",
+        lambda: score_candidate_pairs(conv, conv, cand, cfg),
+        config=cfg_key,
+    )
     resolved = resolve_matches(conv, conv, pairs, cfg, keep_debug=True)
 
     if edge_mode == "best_match":
@@ -125,19 +137,24 @@ def match_transcripts(
         edges = pairs.where(
             F.col("row_score") >= F.lit(float(cfg.required_threshold))
         ).select(F.col("x_id").alias("src"), F.col("y_id").alias("dst"))
-    clusters = connected_components(edges, "src", "dst").select(
-        F.col("node").alias("conv_id"), F.col("component").alias("cluster_id")
-    )
-    # conversations without any edge keep their own id as cluster
-    all_clusters = (
-        conv.select("conv_id")
-        .join(clusters, "conv_id", "left")
-        .select(
-            "conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id")
+    def _build_clusters() -> DataFrame:
+        clusters = connected_components(edges, "src", "dst").select(
+            F.col("node").alias("conv_id"),
+            F.col("component").alias("cluster_id"),
         )
+        # conversations without any edge keep their own id as cluster
+        return (
+            conv.select("conv_id")
+            .join(clusters, "conv_id", "left")
+            .select(
+                "conv_id",
+                F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"),
+            )
+        )
+
+    all_clusters = _stage(
+        "clusters", _build_clusters, config=[edge_mode, *edge_statuses]
     )
-    if cache:
-        all_clusters = all_clusters.persist()
     return TranscriptMatchResult(conv, cand, pairs, resolved, edges, all_clusters)
 
 

@@ -1,0 +1,230 @@
+"""Training-data operators: Spark vs DuckDB-oracle differential tests.
+
+Every operator in operators/{dedup,similarity,text,multimodal} has a
+DuckDB SQL twin built from the same literals (functions/texthash).
+These tests run both engines on /root/testdata/sf0.001 and require
+EXACT agreement (integer hashing; floats quantized via texthash.q6).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from record_matcher_spark.operators import dedup, multimodal, similarity
+from record_matcher_spark.operators import text as text_ops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    return con
+
+
+def assert_frames_equal(sdf, duck_df, sort_cols):
+    sp = sdf.toPandas()
+    du = duck_df
+    sp = sp.reindex(sorted(sp.columns), axis=1)
+    du = du.reindex(sorted(du.columns), axis=1)
+    assert list(sp.columns) == list(du.columns), (sp.columns, du.columns)
+    sp = sp.sort_values(sort_cols).reset_index(drop=True)
+    du = du.sort_values(sort_cols).reset_index(drop=True)
+    assert sp.shape == du.shape, (sp.shape, du.shape)
+    for c in sp.columns:
+        a, b = sp[c], du[c]
+        if a.map(lambda v: hasattr(v, "tolist") or isinstance(v, list)).any():
+            a = a.map(lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v))
+            b = b.map(lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v))
+            assert (a == b).all(), c
+        elif a.dtype.kind == "f" or b.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                a.astype(float), b.astype(float), check_names=False,
+                rtol=0, atol=1e-12,
+            )
+        else:
+            assert (
+                (a.astype("object") == b.astype("object"))
+                | (a.isna() & b.isna())
+            ).all(), c
+
+
+def test_minhash_lsh_pairs(docs, duck):
+    got = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    want = duck.sql(
+        dedup.minhash_lsh_pairs_oracle_sql(
+            "documents", "doc_id", "text", threshold=0.3
+        )
+    ).df()
+    assert_frames_equal(got, want, ["id_a", "id_b"])
+    assert len(want) > 0, "fixture should contain near-dup candidates"
+
+
+def test_minhash_recall_on_planted_dups(spark, docs):
+    """Exact duplicates (jaccard 1.0) must always collide in every band."""
+    from pyspark.sql import functions as F
+
+    dup = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(dup)
+    pairs = dedup.minhash_lsh_pairs(
+        both, "doc_id", "text", threshold=0.999
+    )
+    planted = pairs.where(
+        F.col("id_b") - F.col("id_a") == 10000
+    ).count()
+    assert planted == docs.count()
+
+
+def test_simhash_pairs(docs, duck):
+    got = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    want = duck.sql(
+        dedup.simhash_pairs_oracle_sql("documents", "doc_id", "text", 3)
+    ).df()
+    assert_frames_equal(got, want, ["id_a", "id_b"])
+
+
+def test_ngram_jaccard_pairs(docs, duck):
+    got = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.55, block_col="lang"
+    )
+    want = duck.sql(
+        dedup.ngram_jaccard_pairs_oracle_sql(
+            "documents", "doc_id", "text", 3, 0.55, "lang"
+        )
+    ).df()
+    assert_frames_equal(got, want, ["id_a", "id_b"])
+
+
+def test_exact_dedup_counts(spark, docs):
+    from pyspark.sql import functions as F
+
+    dup = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(dup)
+    out = dedup.exact_dedup(both, "doc_id", ["text"]).toPandas()
+    assert (out["n_copies"] >= 2).all()
+    assert out["n_copies"].sum() == 2 * docs.count()
+
+
+def test_cosine_topk(embs, duck):
+    got = similarity.cosine_topk(
+        embs, embs.where("vec_id < 10"), "vec_id", "embedding", k=5
+    )
+    want = duck.sql(
+        similarity.cosine_topk_oracle_sql(
+            "embeddings",
+            "SELECT * FROM embeddings WHERE vec_id < 10",
+            "vec_id",
+            "embedding",
+            k=5,
+        )
+    ).df()
+    assert_frames_equal(got, want, ["q_id", "rank"])
+
+
+def test_srp_lsh_topk_and_recall(embs, duck):
+    got = similarity.srp_lsh_topk(
+        embs, embs.where("vec_id < 10"), "vec_id", "embedding", k=5
+    )
+    want = duck.sql(
+        similarity.srp_lsh_topk_oracle_sql(
+            "embeddings",
+            "SELECT * FROM embeddings WHERE vec_id < 10",
+            "vec_id",
+            "embedding",
+            k=5,
+        )
+    ).df()
+    assert_frames_equal(got, want, ["q_id", "rank"])
+    # ANN sanity: bucketed top-1 should agree with exact top-1 for most
+    # queries (SRP with 8 planes on clustered vectors).
+    exact = similarity.cosine_topk(
+        embs, embs.where("vec_id < 10"), "vec_id", "embedding", k=1
+    ).toPandas()
+    ann = got.toPandas()
+    ann1 = ann[ann["rank"] == 1][["q_id", "n_id"]]
+    merged = exact[["q_id", "n_id"]].merge(
+        ann1, on="q_id", suffixes=("_exact", "_ann")
+    )
+    agree = (merged["n_id_exact"] == merged["n_id_ann"]).mean()
+    assert agree >= 0.5, f"ANN top-1 agreement too low: {agree}"
+
+
+def test_language_id(docs, duck):
+    got = text_ops.language_id(docs, "doc_id", "text")
+    want = duck.sql(
+        text_ops.language_id_oracle_sql("documents", "doc_id", "text")
+    ).df()
+    assert_frames_equal(got, want, ["id"])
+
+
+def test_language_id_known_samples(spark):
+    rows = [
+        (1, "the cat and the dog went to the market and it is raining"),
+        (2, "der hund und die katze das ist nicht ein problem"),
+        (3, "le chat et les chiens est dans la maison"),
+        (4, "你好世界"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r["lang"]
+        for r in text_ops.language_id(df, "doc_id", "text").collect()
+    }
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "zh"
+
+
+def test_quality_score(docs, duck):
+    got = text_ops.quality_score(docs, "doc_id", "text")
+    want = duck.sql(
+        text_ops.quality_score_oracle_sql("documents", "doc_id", "text")
+    ).df()
+    assert_frames_equal(got, want, ["id"])
+
+
+def test_token_stats(docs, duck):
+    got = text_ops.token_stats(docs, "doc_id", "text")
+    want = duck.sql(
+        text_ops.token_stats_oracle_sql("documents", "doc_id", "text")
+    ).df()
+    assert_frames_equal(got, want, ["id"])
+
+
+def test_fingerprints(docs, duck):
+    got = text_ops.fingerprints(docs, "doc_id", "text")
+    want = duck.sql(
+        text_ops.fingerprints_oracle_sql("documents", "doc_id", "text")
+    ).df()
+    assert_frames_equal(got, want, ["id"])
+
+
+def test_media_features(docs, duck):
+    media = multimodal.attach_media(docs, "doc_id", "text")
+    got = multimodal.extract_media_features(media)
+    want = duck.sql(
+        multimodal.media_features_oracle_sql("documents", "doc_id", "text")
+    ).df()
+    assert_frames_equal(got, want, ["id"])
+
+
+def test_decode_media_is_stubbed(docs):
+    media = multimodal.attach_media(docs, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, "image/png")
