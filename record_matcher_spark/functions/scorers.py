@@ -157,8 +157,21 @@ def _tokens_expr(s: Column) -> Column:
     )
 
 
+def _token_hashes_prep(s: Column) -> Column:
+    """Distinct xxhash64 token hashes — the ``prep`` payload.
+
+    Intersect/union cardinalities over 8-byte hashes equal those over the
+    token strings except on a 64-bit collision (~2^-64 per token pair —
+    negligible even at 10^12 rows, and the Jaccard RATIO only shifts by
+    1/|union| if one ever occurs). Shipping longs instead of strings cuts
+    the candidate-join shuffle ~3x and replaces string comparisons with
+    long compares in the hot intersect loop.
+    """
+    return F.transform(_tokens_expr(s), lambda t: F.xxhash64(t))
+
+
 def _expr_token_set_jaccard(x: Column, y: Column) -> Column:
-    return _pair_token_set_jaccard(_tokens_expr(x), _tokens_expr(y))
+    return _pair_token_set_jaccard(_token_hashes_prep(x), _token_hashes_prep(y))
 
 
 def _pair_token_set_jaccard(tx: Column, ty: Column) -> Column:
@@ -249,7 +262,7 @@ register_scorer(
     _expr_token_set_jaccard,
     _py_token_set_jaccard,
     catalyst=True,
-    prep=_tokens_expr,
+    prep=_token_hashes_prep,
     pair=_pair_token_set_jaccard,
 )
 register_scorer(

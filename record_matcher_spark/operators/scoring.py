@@ -53,8 +53,16 @@ def uniqueness_by_columns(
     aggs = [F.count(F.lit(1)).alias("__rm_total")]
     for c in columns:
         s = blank_coalesce(F.col(c))
+        # distinct-count over xxhash64(value), not the value: the partial
+        # aggregate shuffles 8 bytes/row instead of whole conversation
+        # texts. Equal to the exact count unless two distinct values
+        # collide at 64 bits (~n^2/2^65 — for the reference-parity target
+        # that risk is accepted and documented; a collision shifts one
+        # weight by <= 1/n).
         aggs.append(
-            F.count_distinct(F.when(s != "", s)).alias(f"__rm_u_{c}")
+            F.count_distinct(F.when(s != "", F.xxhash64(s))).alias(
+                f"__rm_u_{c}"
+            )
         )
     row = df.agg(*aggs).first()
     total = row["__rm_total"]
@@ -88,7 +96,14 @@ def _x_side_columns(cfg: MatchConfig) -> list:
     """Projection list for the prepared x side (id, optimal, normalized
     strings, prepped values, weights)."""
     cols = [F.col(cfg.x_id).alias(XID), OPTIMAL]
-    cols += [f"__rm_xs_{r.x_column}" for r in cfg.rules]
+    # prep-scorer rules score over the prepped columns only — shipping the
+    # normalized string too would double the join/shuffle payload for the
+    # heaviest columns (e.g. whole-conversation text)
+    cols += [
+        f"__rm_xs_{r.x_column}"
+        for r in cfg.rules
+        if SCORERS[r.scorer].prep is None
+    ]
     cols += [
         f"__rm_xp_{r.x_column}"
         for r in cfg.rules
@@ -99,8 +114,21 @@ def _x_side_columns(cfg: MatchConfig) -> list:
 
 
 def _y_side(y_df: DataFrame, cfg: MatchConfig, extra: Iterable[str] = ()) -> DataFrame:
-    """Prepared y projection: id, normalized strings, prepped values."""
-    y_needed = sorted({yc for r in cfg.rules for yc in r.y_columns} | set(extra))
+    """Prepared y projection: id, normalized strings, prepped values.
+
+    Strings are shipped only for rules whose scorer reads them (no prep
+    phase) plus blocking extras — prep-scorer columns ride as prepped
+    values alone (see _x_side_columns).
+    """
+    y_needed = sorted(
+        {
+            yc
+            for r in cfg.rules
+            if SCORERS[r.scorer].prep is None
+            for yc in r.y_columns
+        }
+        | set(extra)
+    )
     y_cols = [F.col(cfg.y_id).alias(YID)]
     y_cols += [blank_coalesce(F.col(c)).alias(f"__rm_ys_{c}") for c in y_needed]
     seen: set[str] = set()
