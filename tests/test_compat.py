@@ -98,12 +98,19 @@ def test_scorer_registry_semantics(cfg):
         cfg.scorers_by_column["nope"] = "exact_match"
     with pytest.raises(TBConfigColumnToMatchLock):
         del cfg.scorers_by_column["name"]
-    # custom scorer injection
+    # custom scorer injection (removed after — the registry is global and
+    # test_scorers asserts blank semantics over every registered scorer)
     compat.ScorersByColumn.register(
         "halved_exact", lambda a, b: 50.0 if a == b else 0.0
     )
-    cfg.scorers_by_column["name"] = "halved_exact"
-    assert cfg.scorers_by_column["name"] == "halved_exact"
+    try:
+        cfg.scorers_by_column["name"] = "halved_exact"
+        assert cfg.scorers_by_column["name"] == "halved_exact"
+    finally:
+        cfg.scorers_by_column["name"] = "exact_match"
+        from record_matcher_spark.functions.scorers import SCORERS
+
+        SCORERS.pop("halved_exact", None)
 
 
 def test_threshold_cutoff_validation(cfg):
