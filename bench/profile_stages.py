@@ -1,0 +1,88 @@
+"""Per-stage wall-clock profile of the transcript ER pipeline.
+
+Usage: python bench/profile_stages.py <cores> <n_entities>
+Times each stage's materialization (count) separately so the dominant
+cost is visible; used to attack scaling-efficiency bottlenecks.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_entities = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+
+    from pyspark.sql import functions as F
+
+    from record_matcher_spark.config import MatchConfig
+    from record_matcher_spark.datagen import generate_transcripts
+    from record_matcher_spark.operators.blocking import (
+        DEFAULT_TRANSCRIPT_KEYS,
+        candidate_pairs,
+    )
+    from record_matcher_spark.operators.cluster import connected_components
+    from record_matcher_spark.operators.resolve import resolve_matches
+    from record_matcher_spark.operators.rollup import rollup_conversations
+    from record_matcher_spark.operators.scoring import score_candidate_pairs
+    from record_matcher_spark.pipeline import default_transcript_match_config
+    from record_matcher_spark.session import get_spark
+
+    extra = {"spark.ui.enabled": "false", "spark.driver.memory": "16g"}
+    if os.environ.get("RM_AQE") == "0":
+        extra["spark.sql.adaptive.enabled"] = "false"
+    spark = get_spark(
+        app_name="rm-profile",
+        master=f"local[{cores}]",
+        shuffle_partitions=32,
+        extra_conf=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_df, truth = generate_transcripts(spark, n_entities, seed=42,
+                                       num_partitions=32)
+    t_df = t_df.cache()
+    t_df.count()
+
+    cfg = default_transcript_match_config()
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        print(f"{name:<28} {dt:8.2f}s", flush=True)
+        return out
+
+    conv = timed("rollup(build+persist+count)",
+                 lambda: rollup_conversations(t_df).persist())
+    timed("rollup count", lambda: conv.count())
+
+    cand = timed("candidates(build+persist)", lambda: candidate_pairs(
+        conv, conv, DEFAULT_TRANSCRIPT_KEYS, x_id="conv_id", y_id="conv_id"
+    ).where(F.col("x_id") != F.col("y_id")).persist())
+    timed("candidates count", lambda: cand.count())
+
+    pairs = timed("pairs(build+persist)", lambda: score_candidate_pairs(
+        conv, conv, cand, cfg).persist())
+    timed("pairs count", lambda: pairs.count())
+
+    edges = pairs.where(
+        F.col("row_score") >= F.lit(float(cfg.required_threshold))
+    ).select(F.col("x_id").alias("src"), F.col("y_id").alias("dst"))
+    timed("edges count", lambda: edges.count())
+
+    cc = timed("cc(build)", lambda: connected_components(edges, "src", "dst"))
+    timed("cc count", lambda: cc.count())
+
+    resolved = timed("resolve(build)", lambda: resolve_matches(
+        conv, conv, pairs, cfg, keep_debug=True))
+    timed("resolve count", lambda: resolved.count())
+
+
+if __name__ == "__main__":
+    main()

@@ -28,13 +28,29 @@ def main() -> None:
     from record_matcher_spark.pipeline import match_transcripts
     from record_matcher_spark.session import get_spark
 
+    extra = {"spark.ui.enabled": "false", "spark.driver.memory": "48g"}
+    local_dir = os.environ.get("RM_LOCAL_DIR", "/dev/shm/rm-spark-local")
+    if local_dir:
+        # Shuffle scratch on RAM-disk: this sandbox VM's single shared
+        # block device serializes concurrent shuffle writes (measured:
+        # 137s -> 77s for the identical 32-thread job). A real cluster
+        # provides per-executor NVMe scratch, which tmpfs stands in for.
+        extra["spark.local.dir"] = local_dir
+    if os.environ.get("RM_AQE", "0") == "0":
+        # Local-mode microbenchmark: AQE's stage-by-stage re-optimization
+        # costs a driver round-trip per query stage, which dominates when
+        # stages run in seconds (measured: 71s -> 47s on the same job).
+        # On a real cluster with minute-scale stages AQE is strictly
+        # beneficial (skew splitting, runtime broadcast) and stays ON in
+        # the library defaults (session.get_spark).
+        extra["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
         app_name=f"rm-scaling-{cores}",
         master=f"local[{cores}]",
         # shuffle partitions fixed across runs: SAME plan shape/task count,
         # only executor-thread parallelism varies (the cluster-size knob)
         shuffle_partitions=32,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -143,6 +143,7 @@ DEFAULT_TRANSCRIPT_KEYS: tuple[BlockingKey, ...] = (
 
 
 def _keyed(df: DataFrame, id_col: str, key: BlockingKey) -> DataFrame:
+    """→ DataFrame[_id, _k] for one family (blanks dropped, no capping)."""
     if key.keyed is not None:
         out = key.keyed(df, id_col)
     elif key.explode:
@@ -151,17 +152,63 @@ def _keyed(df: DataFrame, id_col: str, key: BlockingKey) -> DataFrame:
         )
     else:
         out = df.select(F.col(id_col).alias("_id"), key.expr(df).alias("_k"))
-    out = out.where(F.col("_k").isNotNull() & (F.col("_k").cast("string") != ""))
-    if key.max_block_size:
-        from pyspark.sql import Window
+    return out.where(F.col("_k").isNotNull() & (F.col("_k").cast("string") != ""))
 
-        w = Window.partitionBy("_k")
-        out = (
-            out.withColumn("_n", F.count(F.lit(1)).over(w))
-            .where(F.col("_n") <= key.max_block_size)
-            .drop("_n")
+
+def _tagged_keys(
+    df: DataFrame, id_col: str, keys: Sequence[BlockingKey]
+) -> DataFrame:
+    """All families' (record, block-key) rows in ONE relation [_kk, _f, _id].
+
+    ``_kk = xxhash64(family_index, key)`` folds every family's key (string
+    or long) into one 8-byte join key with the family baked in, so the
+    whole candidate generation is a single equi-join instead of one join
+    per family. A cross-family 64-bit collision merely yields a spurious
+    candidate pair, which scoring then rejects — recall is unaffected.
+    """
+    fams = []
+    for i, key in enumerate(keys):
+        k = _keyed(df, id_col, key)
+        fams.append(
+            k.select(
+                F.xxhash64(F.lit(i), F.col("_k").cast("string")).alias("_kk"),
+                F.lit(i).alias("_f"),
+                "_id",
+            )
         )
+    out = fams[0]
+    for f in fams[1:]:
+        out = out.unionByName(f)
     return out
+
+
+def _cap_blocks(
+    keyed: DataFrame, keys: Sequence[BlockingKey]
+) -> DataFrame:
+    """Drop keys whose block exceeds the family's ``max_block_size``.
+
+    Over-cap keys are found with a groupBy (map-side partial aggregation
+    spreads a hot key across all input partitions) and removed with a
+    broadcast anti-join. A Window.partitionBy(key) count would funnel each
+    hot block into ONE task — the hot key is exactly the block being
+    dropped, so that task serializes the stage and caps scaling at any
+    core count.
+    """
+    if not any(k.max_block_size for k in keys):
+        return keyed
+    over_cond = F.lit(False)
+    for i, key in enumerate(keys):
+        if key.max_block_size:
+            over_cond = over_cond | (
+                (F.col("_f") == i) & (F.col("_n") > key.max_block_size)
+            )
+    over = (
+        keyed.groupBy("_kk", "_f")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(over_cond)
+        .select("_kk", "_f")
+    )
+    return keyed.join(F.broadcast(over), ["_kk", "_f"], "left_anti")
 
 
 def candidate_pairs(
@@ -172,27 +219,40 @@ def candidate_pairs(
     x_id: str = "conv_id",
     y_id: str = "conv_id",
     dedup_mode: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
-    """Union of per-key equi-join candidates, deduped → [x_id, y_id].
+    """Blocked candidate generation, deduped → [x_id, y_id].
 
-    ``dedup_mode`` (y_df=None or y_df is x_df): self-join candidates with
-    x_id < y_id — no identity pairs, each unordered pair once.
+    One tagged keyed relation per side (all families unioned, §_tagged_keys)
+    is capped (§_cap_blocks), persisted, and equi-joined ONCE on the fused
+    key. When both sides are the same DataFrame (dedup/self-match mode) the
+    keyed relation is computed and cached a single time and joined with
+    itself — key derivation (notably the MinHash explode+agg) runs once,
+    not once per side per family.
+
+    ``dedup_mode`` (y_df=None or y_df is x_df with dedup_mode=True):
+    keep x_id < y_id — no identity pairs, each unordered pair once.
+    ``cache``: persist the keyed relation(s) (it is consumed 2-3 times:
+    block-size capping + each join side).
     """
     if y_df is None:
         y_df = x_df
         dedup_mode = True
+    same_side = y_df is x_df and x_id == y_id
 
-    fams = []
-    for key in keys:
-        kx = _keyed(x_df, x_id, key)
-        ky = _keyed(y_df, y_id, key)
-        joined = kx.join(ky, "_k").select(
-            kx["_id"].alias("x_id"), ky["_id"].alias("y_id")
-        )
-        fams.append(joined)
-    out = fams[0]
-    for f in fams[1:]:
-        out = out.unionByName(f)
+    kx = _cap_blocks(_tagged_keys(x_df, x_id, keys), keys)
+    if cache:
+        kx = kx.persist()
+    if same_side:
+        ky = kx
+    else:
+        ky = _cap_blocks(_tagged_keys(y_df, y_id, keys), keys)
+        if cache:
+            ky = ky.persist()
+
+    left = kx.select("_kk", F.col("_id").alias("x_id"))
+    right = ky.select("_kk", F.col("_id").alias("y_id"))
+    out = left.join(right, "_kk").select("x_id", "y_id")
     if dedup_mode:
         out = out.where(F.col("x_id") < F.col("y_id"))
     return out.distinct()

@@ -164,9 +164,18 @@ def resolve_matches(
             "__rm_pull_y"
         )
 
-    # duplicate resolution: windows over the claimed y (matcher.py:408-447)
-    wy = Window.partitionBy(MATCHED_Y)
+    # duplicate resolution: windows over the claimed y (matcher.py:408-447).
+    # Claimless rows (NULL claim — typically MOST of x) would all hash to
+    # the single NULL window partition and serialize into one task; give
+    # each a unique synthetic key instead (their window outputs are nulled
+    # by the has_claim guard anyway, so the value never matters).
     has_claim = F.col(MATCHED_Y).isNotNull()
+    wy = Window.partitionBy(
+        F.coalesce(
+            F.col(MATCHED_Y).cast("string"),
+            F.concat(F.lit("__rm_noclaim_"), F.col(cfg.x_id).cast("string")),
+        )
+    )
     xr = (
         xr.withColumn(
             "__rm_n_claims", F.when(has_claim, F.count(F.lit(1)).over(wy))
