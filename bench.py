@@ -27,11 +27,18 @@ def main() -> None:
 
     from record_matcher_spark.session import get_spark
 
+    extra = {"spark.ui.enabled": "false", "spark.driver.memory": "16g"}
+    # Shuffle scratch on RAM-disk when available: the sandbox VM's single
+    # shared block device serializes concurrent shuffle writes (see
+    # bench/scaling_worker.py). Production clusters use per-executor NVMe.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/rm-spark-local")
+    if local_dir and os.path.isdir(os.path.dirname(local_dir) or "/"):
+        extra["spark.local.dir"] = local_dir
     spark = get_spark(
         app_name="record_matcher_spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -47,7 +47,9 @@ def main() -> None:
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     n_hi = n_lo * 4
 
-    run(n_hi, n_entities)  # warm-up, discarded
+    # warm-up, discarded (JVM jar loading + page cache; a small corpus
+    # suffices — the effect being flushed is per-process, not per-size)
+    run(n_hi, min(n_entities, 20000))
     lo_runs, hi_runs = [], []
     for _ in range(trials):
         hi_runs.append(run(n_hi, n_entities))
