@@ -363,6 +363,34 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn→conversation-style rollup on the events table (operators.rollup
+    — same one-groupBy / sort_array plan as rollup_conversations): per
+    user, the event_type sequence ordered by (ts, event_id)."""
+    from record_matcher_spark.operators.rollup import rollup_sequence
+
+    _register_views(spark, sf_dir, ["events"])
+    out = rollup_sequence(
+        spark.table("events"), "user_id", ["ts", "event_id"], "event_type"
+    )
+    return out.select(
+        "user_id",
+        "event_type_seq",
+        "n_items",
+        F.unix_timestamp("ts_min").alias("ts_min_epoch"),
+    )
+
+
+_SQL_SESSION_ROLLUP = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS event_type_seq,
+       count(*) AS n_items,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS ts_min_epoch
+FROM events
+GROUP BY user_id
+"""
+
+
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive clustering (large-star/small-star CC) on per-customer
     order chains: consecutive orders of one customer form path edges; CC
@@ -467,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_jw": _match_query(_CFG_JW, _X_FUZZY, _Y_CUST),
         "dedup_exact": _q_dedup_exact,
         "doc_token_stats": _q_token_stats,
+        "session_rollup": _q_session_rollup,
         "connected_components": _q_connected_components,
         "transcript_clusters": _q_transcript_clusters,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -493,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "match_jw": _match_oracle(_CFG_JW, _X_FUZZY, _Y_CUST),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "doc_token_stats": _SQL_TOKEN_STATS,
+        "session_rollup": _SQL_SESSION_ROLLUP,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         **_dataops_oracles(),
         # transcript_clusters: intentionally no oracle (iterative CC) —

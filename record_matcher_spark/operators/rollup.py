@@ -73,6 +73,37 @@ def rollup_conversations(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def rollup_sequence(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    sep: str = ">",
+) -> DataFrame:
+    """Generic key → ordered-value-sequence rollup.
+
+    Same plan shape as :func:`rollup_conversations` (ONE groupBy shuffle,
+    executor-side ``sort_array`` over structs — no window): for each key,
+    the values of ``value_col`` ordered by ``order_cols`` joined with
+    ``sep``, plus item count and the minimum of the first order column.
+    Usable for any event-stream table (sessionization-style rollup).
+
+    Output: [key_col, {value_col}_seq, n_items, {order_cols[0]}_min].
+    """
+    item = F.struct(
+        *[F.col(c) for c in order_cols], F.col(value_col).alias("_v")
+    )
+    seq = F.array_join(
+        F.transform(F.sort_array(F.collect_list(item)), lambda t: t["_v"]),
+        sep,
+    )
+    return df.groupBy(key_col).agg(
+        seq.alias(f"{value_col}_seq"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.min(order_cols[0]).alias(f"{order_cols[0]}_min"),
+    )
+
+
 def explode_turns(conversations: DataFrame) -> DataFrame:
     """Inverse of the rollup (for the per-turn-equality invariant test)."""
     t = F.explode("turns").alias("t")
