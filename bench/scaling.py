@@ -81,7 +81,13 @@ at `local[{n_lo}]` (N) vs `local[{n_hi}]` (4N), shuffle partitions fixed
 at 32 so plan shape and task count are identical — only executor-thread
 parallelism varies. Isolated JVM per run; 1 warm-up run discarded;
 alternating trials; best-of-{trials} per config (noise on this shared VM
-is one-sided — see bench/scaling.py docstring).
+is one-sided — see bench/scaling.py docstring). Two sandbox-only
+confounders are removed so the measurement reflects executor parallelism
+(bench/scaling_worker.py documents both; neither applies to a real
+cluster): shuffle scratch on tmpfs (the VM's single shared block device
+serializes concurrent shuffle writes; real executors have local NVMe) and
+AQE off for this microbench only (its per-query-stage driver round-trips
+dominate at second-scale stages; library defaults keep AQE ON).
 
 | cores | conversations | wall sec (best) | all trials (sec) | convs/sec |
 |---|---|---|---|---|
