@@ -348,7 +348,16 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from record_matcher_spark.operators.text import fingerprints
 
     _register_views(spark, sf_dir, ["documents"])
-    return fingerprints(spark.table("documents"), "doc_id", "text")
+    out = fingerprints(spark.table("documents"), "doc_id", "text")
+    # the driver's canonicalizer sorts on pandas object columns — arrays are
+    # unhashable there, so ship the fingerprint as a joined scalar string
+    return out.select(
+        "id",
+        F.array_join(F.col("fingerprint").cast("array<string>"), ",").alias(
+            "fingerprint"
+        ),
+        "doc_hash",
+    )
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,8 +367,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _register_views(spark, sf_dir, ["documents"])
-    return extract_media_features(
+    out = extract_media_features(
         attach_media(spark.table("documents"), "doc_id", "text")
+    )
+    # same canonicalizer constraint: array<long> features -> scalar string
+    return out.select(
+        "id",
+        "kind",
+        "n_bytes",
+        F.array_join(F.col("features").cast("array<string>"), ",").alias(
+            "features"
+        ),
     )
 
 
@@ -462,11 +480,19 @@ def _dataops_oracles() -> dict[str, str]:
         "doc_quality_score": text_ops.quality_score_oracle_sql(
             "documents", "doc_id", "text"
         ),
-        "doc_fingerprints": text_ops.fingerprints_oracle_sql(
-            "documents", "doc_id", "text"
+        # array outputs joined to scalar strings (driver-canonicalizer-safe;
+        # coalesce: DuckDB array_to_string of [] is NULL, Spark's is '')
+        "doc_fingerprints": (
+            "SELECT id, coalesce(array_to_string(fingerprint, ','), '') AS "
+            "fingerprint, doc_hash FROM ("
+            + text_ops.fingerprints_oracle_sql("documents", "doc_id", "text")
+            + ")"
         ),
-        "media_features": multimodal.media_features_oracle_sql(
-            "documents", "doc_id", "text"
+        "media_features": (
+            "SELECT id, kind, n_bytes, "
+            "coalesce(array_to_string(features, ','), '') AS features FROM ("
+            + multimodal.media_features_oracle_sql("documents", "doc_id", "text")
+            + ")"
         ),
     }
 
