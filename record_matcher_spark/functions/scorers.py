@@ -28,6 +28,7 @@ import re
 from dataclasses import dataclass
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -138,6 +139,133 @@ def _py_jaro_winkler(x: str, y: str, prefix_weight: float = 0.1) -> float:
 
 
 # --------------------------------------------------------------------------
+# numpy batch kernels (the fast path inside pandas UDFs)
+# --------------------------------------------------------------------------
+
+
+def _code_matrix(strs: np.ndarray, width: int) -> np.ndarray:
+    """(n, width) uint32 code-point matrix, zero-padded. Positions past a
+    string's length are garbage-guarded by the caller's length masks."""
+    n = len(strs)
+    if width == 0:
+        return np.zeros((n, 1), dtype=np.uint32)
+    u = np.array(strs, dtype=f"U{width}")
+    return u.view(np.uint32).reshape(n, -1)[:, :width]
+
+
+def _np_jaro_winkler_chunk(
+    xs: np.ndarray, ys: np.ndarray, prefix_weight: float = 0.1
+) -> np.ndarray:
+    """Vectorized Jaro-Winkler over one chunk of UNEQUAL string pairs.
+
+    Mirrors ``_py_jaro``/``_py_jaro_winkler`` operation-for-operation
+    (same greedy first-available match, same transposition count, same
+    float64 expression order) so results are bit-identical to the Python
+    twin — pinned by tests/test_scorers.py's differential sweep.
+
+    Cost: O(L1 * n * L2) boolean algebra for the chunk, all inside numpy —
+    no per-pair Python. The caller length-sorts and chunks so L1*L2 stays
+    representative of the chunk's strings, not the batch's longest.
+    """
+    n = len(xs)
+    l1 = np.fromiter((len(s) for s in xs), dtype=np.int64, count=n)
+    l2 = np.fromiter((len(s) for s in ys), dtype=np.int64, count=n)
+    L1 = int(l1.max(initial=0))
+    L2 = int(l2.max(initial=0))
+    out = np.zeros(n, dtype=np.float64)
+    if L1 == 0 or L2 == 0:
+        return out  # one side empty and pairs are unequal => jaro 0
+    A = _code_matrix(xs, L1)
+    B = _code_matrix(ys, L2)
+    # fold the length masks into the code matrices: positions past each
+    # string's end get distinct sentinels, so equality there is impossible
+    # and the inner loop needs no validity terms
+    A[np.arange(L1)[None, :] >= l1[:, None]] = 0xFFFFFFFE
+    B[np.arange(L2)[None, :] >= l2[:, None]] = 0xFFFFFFFF
+    w = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)[:, None]
+    jarr = np.arange(L2)[None, :]
+    am = np.zeros((n, L1), dtype=bool)
+    avail = np.ones((n, L2), dtype=bool)  # ~matched-in-B, kept incrementally
+    buf = np.empty((n, L2), dtype=bool)
+    wm = np.empty((n, L2), dtype=bool)
+    rn = np.arange(n)
+    for i in range(L1):
+        # first unmatched j in [i-w, i+w] with B[j]==A[i] (greedy, = twin)
+        np.equal(B, A[:, i : i + 1], out=buf)
+        buf &= avail
+        np.less_equal(np.abs(jarr - i), w, out=wm)
+        buf &= wm
+        j = buf.argmax(axis=1)
+        rows = np.nonzero(buf[rn, j])[0]
+        avail[rows, j[rows]] = False
+        am[rows, i] = True
+    bm = ~avail
+    m = am.sum(axis=1)
+    matched = m > 0
+    # transpositions: compare the i-ordered matched chars of A with the
+    # j-ordered matched chars of B (scatter each into rank position)
+    maxm = int(m.max(initial=0))
+    if maxm:
+        SA = np.zeros((n, maxm), dtype=np.uint32)
+        SB = np.zeros((n, maxm), dtype=np.uint32)
+        ra = np.cumsum(am, axis=1) - 1
+        rows, cols = np.nonzero(am)
+        SA[rows, ra[rows, cols]] = A[rows, cols]
+        rb = np.cumsum(bm, axis=1) - 1
+        rows, cols = np.nonzero(bm)
+        SB[rows, rb[rows, cols]] = B[rows, cols]
+        valid = np.arange(maxm)[None, :] < m[:, None]
+        t = ((SA != SB) & valid).sum(axis=1) // 2
+    else:
+        t = np.zeros(n, dtype=np.int64)
+    ms = np.maximum(m, 1)  # guarded by `matched` below
+    jaro = np.where(
+        matched, (m / l1.clip(min=1) + m / l2.clip(min=1) + (m - t) / ms) / 3.0, 0.0
+    )
+    # common prefix (up to 4 chars, stops at first mismatch / min length)
+    pref = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    for i in range(min(4, L1, L2)):
+        ok = alive & (i < l1) & (i < l2) & (A[:, i] == B[:, i])
+        pref += ok
+        alive = ok
+    return 100.0 * (jaro + (pref * prefix_weight) * (1.0 - jaro))
+
+
+# Per-chunk cell budget for the O(n * L1 * L2) boolean work. 2^25 cells
+# (~33 MB of bool temporaries) keeps the working set inside L3 while
+# amortizing numpy call overhead.
+_JW_CHUNK_CELLS = 1 << 25
+
+
+def _np_jaro_winkler_batch(x: pd.Series, y: pd.Series) -> pd.Series:
+    """Batched Jaro-Winkler: equal pairs short-circuit to 100; unequal
+    pairs are length-sorted and chunked through the vectorized kernel."""
+    xv = x.fillna("").astype(str).to_numpy(dtype=object)
+    yv = y.fillna("").astype(str).to_numpy(dtype=object)
+    n = len(xv)
+    out = np.full(n, 100.0, dtype=np.float64)
+    neq = np.nonzero(xv != yv)[0]
+    if len(neq):
+        l1 = np.fromiter((len(xv[i]) for i in neq), dtype=np.int64, count=len(neq))
+        l2 = np.fromiter((len(yv[i]) for i in neq), dtype=np.int64, count=len(neq))
+        order = np.argsort(l1 * l2, kind="stable")
+        area = (l1 * l2).clip(min=1)[order]
+        csum = np.cumsum(area)
+        start = 0
+        while start < len(neq):
+            base = csum[start - 1] if start else 0
+            stop = max(
+                int(np.searchsorted(csum, base + _JW_CHUNK_CELLS, side="right")),
+                start + 1,
+            )
+            idx = neq[order[start:stop]]
+            out[idx] = _np_jaro_winkler_chunk(xv[idx], yv[idx])
+            start = stop
+    return pd.Series(out, dtype="float64")
+
+
+# --------------------------------------------------------------------------
 # Spark-side expressions
 # --------------------------------------------------------------------------
 
@@ -182,19 +310,16 @@ def _pair_token_set_jaccard(tx: Column, ty: Column) -> Column:
     return F.when(union == 0, F.lit(100.0)).otherwise(100.0 * inter / union)
 
 
-def _make_pandas_scorer(py_fn: Callable[[str, str], float]):
-    """Wrap a pure-Python pair function as an Arrow-batched pandas UDF.
+def _make_pandas_scorer(batch_fn: Callable[[pd.Series, pd.Series], pd.Series]):
+    """Wrap a batch scoring function as an Arrow-batched pandas UDF.
 
-    Batch-level Arrow transfer (the north rule forbids row-at-a-time
-    Python UDF registration; the per-element loop runs inside one Arrow
-    batch on the Python worker).
+    ``batch_fn`` receives whole pd.Series (one Arrow batch) and must return
+    a float64 Series — vectorize inside (numpy kernels), never per-row.
     """
 
     @F.pandas_udf(DoubleType())
     def _scorer(x: pd.Series, y: pd.Series) -> pd.Series:
-        xv = x.fillna("").astype(str).to_numpy()
-        yv = y.fillna("").astype(str).to_numpy()
-        return pd.Series([py_fn(a, b) for a, b in zip(xv, yv)], dtype="float64")
+        return batch_fn(x, y)
 
     # Semantically pure — the non-deterministic flag is an optimizer fence:
     # it stops Catalyst from duplicating the call into Filter operators
@@ -267,7 +392,7 @@ register_scorer(
 )
 register_scorer(
     "jaro_winkler",
-    _make_pandas_scorer(_py_jaro_winkler),
+    _make_pandas_scorer(_np_jaro_winkler_batch),
     _py_jaro_winkler,
     catalyst=False,
 )

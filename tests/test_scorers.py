@@ -65,6 +65,44 @@ def test_blank_semantics():
         assert sc.py("same", "same") == 100.0, name
 
 
+def test_np_jaro_winkler_kernel_bitwise_identical():
+    """The vectorized numpy JW batch kernel must agree BIT-FOR-BIT with the
+    pure-Python twin (the generated SQL oracle and the driver's value hash
+    both depend on exact doubles). Sweeps edge pairs + seeded random pairs
+    including chunk-boundary length mixes."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from record_matcher_spark.functions.scorers import (
+        _np_jaro_winkler_batch,
+        _py_jaro_winkler,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    alpha = "abcdef XYZ#01"
+    xs, ys = [], []
+    for a, b in EDGE_PAIRS:
+        xs.append(a)
+        ys.append(b)
+    for _ in range(4000):
+        xs.append("".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40))))
+        ys.append("".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40))))
+    for _ in range(1000):  # near-duplicates (single-char edits)
+        s = "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 30)))
+        t = list(s)
+        for _ in range(rng.randrange(0, 3)):
+            p = rng.randrange(len(t))
+            t[p] = rng.choice(alpha)
+        xs.append(s)
+        ys.append("".join(t))
+    got = _np_jaro_winkler_batch(pd.Series(xs), pd.Series(ys)).to_numpy()
+    exp = np.array([_py_jaro_winkler(a, b) for a, b in zip(xs, ys)])
+    bad = np.nonzero(got != exp)[0]
+    assert len(bad) == 0, [(xs[i], ys[i], got[i], exp[i]) for i in bad[:5]]
+
+
 def test_known_values():
     assert SCORERS["exact_match"].py("a", "b") == 0.0
     # levenshtein("kitten","sitting") = 3, max len 7
