@@ -170,6 +170,38 @@ def band_key_sql(sig_sqls: list[str]) -> str:
     return key
 
 
+# SimHash band re-hash constants: the poly token hash only carries 31 bits
+# (mod P), so a wide signature must draw fresh bits per band via
+# independent affine permutations g_k(h) = (a_k*h + b_k) % P (the MinHash
+# trick). Indices 48..51 of the shared pools keep the literals disjoint
+# from typical minhash use (<= 32 hashes).
+SIMHASH_BAND_BITS = 15
+SIMHASH_NBANDS = 4
+_SIMHASH_REHASH = [(MINHASH_A[48 + k], MINHASH_B[48 + k]) for k in range(4)]
+
+
+def simhash60_expr(th: Column) -> Column:
+    """60-bit banded SimHash: band k's 15 bits are the simhash of the
+    re-hashed token stream g_k(th). Equivalent to a plain simhash of the
+    60-bit token hash concat(low15(g_0(t)), ..., low15(g_3(t))); every
+    intermediate stays a positive int64 in both engines."""
+    sig = F.lit(0).cast("long")
+    for k, (a, b) in enumerate(_SIMHASH_REHASH):
+        g = F.transform(th, lambda h: (F.lit(a) * h + F.lit(b)) % P)
+        band = simhash_expr(g, SIMHASH_BAND_BITS)
+        sig = sig + band * F.lit(1 << (SIMHASH_BAND_BITS * k)).cast("long")
+    return sig
+
+
+def simhash60_sql(th: str) -> str:
+    terms = []
+    for k, (a, b) in enumerate(_SIMHASH_REHASH):
+        g = f"list_transform({th}, h -> ({a} * h + {b}) % {P})"
+        band = simhash_sql(g, SIMHASH_BAND_BITS)
+        terms.append(f"({band}) * {1 << (SIMHASH_BAND_BITS * k)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def simhash_expr(th: Column, bits: int = 32) -> Column:
     """SimHash over token-hash array (frequency-weighted: every occurrence
     votes). Bit b of the signature is 1 iff sum over tokens of

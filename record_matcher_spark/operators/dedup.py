@@ -18,10 +18,16 @@ pairs only; nothing is O(n^2) except the *oracle* SQL used by tests.
 Hashing uses functions/texthash.py so the DuckDB oracle reproduces every
 hash exactly (see that module's docstring).
 
-SimHash pair-search exactness: a 32-bit signature is split into 4 byte
-bands; hamming(a, b) <= 3 implies at least one equal byte (pigeonhole), so
-band-join candidates + hamming filter find EXACTLY the pairs an all-pairs
-scan would — the oracle uses the O(n^2) formulation, results must agree.
+SimHash pair-search exactness: a 60-bit banded signature (4 disjoint
+15-bit bands, texthash.simhash60 — the 31-bit poly token hash is re-hashed
+per band so every band carries real entropy); hamming(a, b) <= 3 implies
+at least one equal band (pigeonhole), so band-join candidates + hamming
+filter find EXACTLY the pairs an all-pairs scan would — the oracle uses
+the O(n^2) formulation, results must agree. Everything stays a positive
+int64, so Spark and DuckDB shift/mask agree without sign-extension
+differences. 2^15 keys per band keep band-block sizes ~n/32768 at corpus
+scale (the previous 8-bit byte bands gave only 256 keys per band =>
+O(n^2/256) candidates).
 """
 
 from __future__ import annotations
@@ -201,15 +207,23 @@ WHERE (floor((CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
 # --------------------------------------------------------------------------
 
 
-def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32
-) -> DataFrame:
-    """[id, simhash] — frequency-weighted SimHash of the token stream."""
+# 4 disjoint 15-bit bands of the 60-bit banded signature (texthash):
+# (shift, mask). 2^15 keys per band keep band blocks ~n/32768.
+_SIMHASH_BANDS = tuple(
+    (TH.SIMHASH_BAND_BITS * k, (1 << TH.SIMHASH_BAND_BITS) - 1)
+    for k in range(TH.SIMHASH_NBANDS)
+)
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """[id, simhash] — frequency-weighted 60-bit banded SimHash of the
+    token stream (texthash.simhash60: the 31-bit poly token hash is
+    re-hashed per band so every band carries real entropy)."""
     th = TH.token_hashes_expr(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), th.alias("_th")).where(
         F.size("_th") > 0
     )
-    return base.select("id", TH.simhash_expr(F.col("_th"), bits).alias("simhash"))
+    return base.select("id", TH.simhash60_expr(F.col("_th")).alias("simhash"))
 
 
 def simhash_pairs(
@@ -220,18 +234,20 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with hamming(simhash) <= max_hamming (<= 3).
 
-    Exact under banding: 4 byte-bands of a 32-bit signature; <= 3 differing
-    bits cannot touch all 4 bytes, so candidates from the band join are a
-    superset of all qualifying pairs -> the hamming filter makes the result
-    EQUAL to the O(n^2) scan the oracle runs.
+    Exact under banding: 4 disjoint 15-bit bands of the 60-bit signature;
+    <= 3 differing bits cannot touch all 4 bands, so candidates from the
+    band join are a superset of all qualifying pairs -> the hamming filter
+    makes the result EQUAL to the O(n^2) scan the oracle runs. 2^15 keys
+    per band keep band blocks ~n/32768 (scale-safe candidate counts; the
+    previous 8-bit byte bands forced blocks of ~n/256).
     """
     if max_hamming > 3:
-        raise ValueError("byte-band pigeonhole only covers max_hamming <= 3")
+        raise ValueError("4-band pigeonhole only covers max_hamming <= 3")
     sig = simhash_signatures(df, id_col, text_col)
     bands = F.array(
         *[
-            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
-            for i in range(4)
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit(mask))
+            for off, mask in _SIMHASH_BANDS
         ]
     )
     keyed = sig.select(
@@ -258,7 +274,7 @@ def simhash_pairs_oracle_sql(
     table: str, id_col: str, text_col: str, max_hamming: int = 3
 ) -> str:
     th = TH.token_hashes_sql(text_col)
-    sim = TH.simhash_sql("th", 32)
+    sim = TH.simhash60_sql("th")
     return f"""
 WITH th AS (
   SELECT {id_col} AS id, {th} AS th FROM {table}
@@ -298,43 +314,72 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     block_col: str | None = None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Char n-gram Jaccard >= threshold over blocked pairs.
 
-    ``block_col`` keys the candidate join (e.g. a lang or source column);
-    None blocks on a cheap length bucket (floor(log2(len))) — near-dups by
-    n-gram Jaccard at >= 0.6 can't differ in length by 2x, so the bucket
-    join with +-1 bucket slop loses nothing. At 100 TB this keeps the join
-    from going quadratic while staying a plain shuffle join.
+    Candidate semantics (replicated exactly by the oracle): two docs pair
+    iff (a) ``block_col`` values are equal (when given), AND (b) their
+    length buckets ``floor(log2(trimmed_len))`` differ by at most 1 (the
+    slop is realized by exploding one side to buckets {b-1, b, b+1}), AND
+    (c) neither doc sits in a (block, bucket) group larger than
+    ``max_block_size`` (over-cap groups are dropped from BOTH sides —
+    a pathological group of B rows would otherwise cost B^2 pairs).
+
+    The bucket constraint is a deliberate recall bound, not a free
+    optimization: n-gram Jaccard is over DISTINCT grams, so a highly
+    repetitive long doc can in principle clear the threshold against a
+    short one yet differ in length by >2x — such pairs are out of scope by
+    design (documented blocking recall, same contract as
+    operators/blocking.py). The bucket is computed as
+    ``length(bin(len)) - 1`` — pure integer/string ops, bit-identical in
+    Spark and DuckDB (float log2 is not).
+
+    Each qualifying pair is produced exactly once (the un-exploded side
+    keeps a single bucket), so no distinct is needed — one shuffle join,
+    no pair-level dedup shuffle.
     """
-    blk = (
-        F.col(block_col).cast("string")
-        if block_col
-        else F.floor(
-            F.log2(F.greatest(F.length(F.trim(F.col(text_col))), F.lit(1)))
-        ).cast("string")
-    )
+    bucket = (
+        F.length(
+            F.bin(F.greatest(F.length(F.trim(F.col(text_col))), F.lit(1)))
+        )
+        - 1
+    ).cast("long")
+    blk = F.col(block_col).cast("string") if block_col else F.lit("")
     grams = df.select(
         F.col(id_col).alias("id"),
         _char_ngrams_expr(F.col(text_col), n).alias("g"),
         blk.alias("blk"),
+        bucket.alias("bkt"),
     ).where(F.size("g") > 0)
+    if max_block_size:
+        over = (
+            grams.groupBy("blk", "bkt")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_block_size)
+            .select("blk", "bkt")
+        )
+        grams = grams.join(over, ["blk", "bkt"], "left_anti")
     a = grams.select(
-        F.col("id").alias("id_a"), F.col("g").alias("ga"), "blk"
+        F.col("id").alias("id_a"),
+        F.col("g").alias("ga"),
+        "blk",
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
     )
     b = grams.select(
-        F.col("id").alias("id_b"), F.col("g").alias("gb"), "blk"
+        F.col("id").alias("id_b"), F.col("g").alias("gb"), "blk", "bkt"
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb")).cast("double")
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "bkt"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", TH.q6_expr(inter / union).alias("jaccard")
         )
         .where(F.col("jaccard") >= threshold)
-        .distinct()
     )
 
 
@@ -345,32 +390,45 @@ def ngram_jaccard_pairs_oracle_sql(
     n: int = 3,
     threshold: float = 0.6,
     block_col: str | None = None,
+    max_block_size: int | None = None,
 ) -> str:
+    """DuckDB twin of ``ngram_jaccard_pairs`` — same block/bucket/cap."""
     codes = (
         f"list_transform(regexp_split_to_array(trim(lower({text_col})), ''), "
         "c -> CAST(ord(c) AS BIGINT))"
     )
     gram = TH.poly_hash_sql(f"codes[j:j+{n}-1]")
-    blk = (
-        f"CAST({block_col} AS VARCHAR)"
-        if block_col
-        else f"CAST(floor(log2(greatest(length(trim({text_col})), 1))) AS VARCHAR)"
+    blk = f"CAST({block_col} AS VARCHAR)" if block_col else "''"
+    bucket = (
+        f"CAST(length(bin(greatest(length(trim({text_col})), 1))) - 1 AS BIGINT)"
+    )
+    cap_cte = (
+        f""", capped AS (
+  SELECT gn.* FROM gn
+  JOIN (SELECT blk, bkt, count(*) AS _n FROM gn GROUP BY blk, bkt) s
+    ON gn.blk = s.blk AND gn.bkt = s.bkt
+  WHERE s._n <= {max_block_size}
+)"""
+        if max_block_size
+        else ", capped AS (SELECT * FROM gn)"
     )
     return f"""
 WITH c AS (
-  SELECT {id_col} AS id, {codes} AS codes, {blk} AS blk FROM {table}
+  SELECT {id_col} AS id, {codes} AS codes, {blk} AS blk, {bucket} AS bkt
+  FROM {table}
 ), g AS (
-  SELECT id, blk,
+  SELECT id, blk, bkt,
     CASE WHEN len(codes) >= {n}
       THEN list_distinct(list_transform(range(1, len(codes) - {n} + 2),
                                         j -> {gram}))
       ELSE [] END AS g
   FROM c
-), gn AS (SELECT * FROM g WHERE len(g) > 0)
+), gn AS (SELECT * FROM g WHERE len(g) > 0){cap_cte}
 SELECT a.id AS id_a, b.id AS id_b,
   (floor((CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / len(list_distinct(list_concat(a.g, b.g)))) * 1e6 + 0.5) / 1e6) AS jaccard
-FROM gn a JOIN gn b ON a.blk = b.blk AND a.id < b.id
+FROM capped a JOIN capped b
+  ON a.blk = b.blk AND abs(a.bkt - b.bkt) <= 1 AND a.id < b.id
 WHERE (floor((CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / len(list_distinct(list_concat(a.g, b.g)))) * 1e6 + 0.5) / 1e6) >= {threshold}
 """

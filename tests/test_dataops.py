@@ -113,6 +113,88 @@ def test_ngram_jaccard_pairs(docs, duck):
     assert_frames_equal(got, want, ["id_a", "id_b"])
 
 
+def test_simhash_band_blocks_bounded(spark, docs):
+    """Scale guard: 16-bit band keys must spread the corpus — the largest
+    band block stays a small fraction of n (the old 8-bit bands forced
+    blocks of ~n/256, going quadratic at corpus scale)."""
+    from pyspark.sql import functions as F
+
+    sig = dedup.simhash_signatures(docs, "doc_id", "text")
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit(mask))
+            for off, mask in dedup._SIMHASH_BANDS
+        ]
+    )
+    keyed = sig.select(F.posexplode(bands).alias("band", "key"))
+    hist = (
+        keyed.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_docs = sig.count()
+    max_block = hist.agg(F.max("n")).first()[0]
+    # No band key should swallow a meaningful slice of the corpus.
+    # (The fixture plants near-dup families which legitimately share band
+    # keys — that is the recall mechanism — so the bound is a fraction of
+    # n, not a constant.)
+    assert max_block <= max(8, n_docs // 8), (max_block, n_docs)
+
+
+def test_ngram_bucket_slop_catches_boundary_pairs(spark, duck):
+    """A near-dup pair straddling a power-of-2 length boundary (len 63 vs
+    66) must be found — pinned against the pre-slop plan which silently
+    missed it — and Spark must agree with the oracle exactly."""
+    base = "abcdefghij klmnopqrst uvwxyz0123 ABCDEFGHIJ KLMNOPQRST uvw"
+    assert len(base) == 58  # bucket 5
+    longer = base + " tailcoda"  # 67 chars -> bucket 6
+    rows = [(1, base, "en"), (2, longer, "en"), (3, "zz 99 xx", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, block_col="lang"
+    ).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == {(1, 2)}
+    con = duckdb.connect()
+    con.register("boundary_docs", pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang"]
+    ))
+    want = con.sql(
+        dedup.ngram_jaccard_pairs_oracle_sql(
+            "boundary_docs", "doc_id", "text", 3, 0.5, "lang"
+        )
+    ).df()
+    assert_frames_equal(
+        spark.createDataFrame(got) if len(got) else spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        ),
+        want,
+        ["id_a", "id_b"],
+    )
+
+
+def test_ngram_block_cap_drops_hot_group(spark, duck):
+    """max_block_size drops over-cap (block, bucket) groups from both
+    sides — engine and oracle replicate the same cap rule."""
+    hot = [(i, f"hot text variant {i % 4} padding words", "en")
+           for i in range(30)]
+    cold = [(100, "cold pair text one two three", "de"),
+            (101, "cold pair text one two four", "de")]
+    rows = hot + cold
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.3, block_col="lang",
+        max_block_size=10,
+    ).toPandas()
+    # the 30-doc hot (en, bucket) group exceeds the cap: no hot pairs
+    assert (got.id_a >= 100).all() and set(zip(got.id_a, got.id_b)) == {(100, 101)}
+    con = duckdb.connect()
+    con.register("cap_docs", pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    want = con.sql(
+        dedup.ngram_jaccard_pairs_oracle_sql(
+            "cap_docs", "doc_id", "text", 3, 0.3, "lang", max_block_size=10
+        )
+    ).df()
+    assert len(want) == len(got) == 1
+
+
 def test_exact_dedup_counts(spark, docs):
     from pyspark.sql import functions as F
 
