@@ -439,11 +439,71 @@ QUALIFY count(*) OVER (PARTITION BY o_custkey) >= 2
 """
 
 
+# Closed-form full-pipeline oracle: a transcripts table derived in pure SQL
+# from `customer` (both engines build the identical input). Entity k gets
+# 1 + (k % 3) variant conversations; every turn text uses entity-unique
+# tokens (e<k>a ... e<k>j) plus one per-variant token, so:
+#   - within-entity full_text token-set Jaccard = 9/11 ~ 81.8 (>= threshold
+#     45 by a wide margin; first_user_text identical => levenshtein 100)
+#   - cross-entity token sets are DISJOINT => full_text scores 0 and the
+#     max possible cross-entity row score is the first_user_text
+#     contribution alone (< 34 by weight), far below 45
+#   - within-entity pairs are guaranteed candidates: the token-prefix
+#     blocking key (first 3 sorted tokens of first_user_text) is
+#     entity-unique; the shared role_seq key exceeds its block cap and is
+#     dropped (exercising the cap path)
+# so connected components = entities exactly, and the cluster label
+# (min conv_id) has the closed form 'c<k>_v0'. The oracle needs no CC —
+# it derives the same conv list and labels in one SELECT.
+_TRANSCRIPTS_FROM_CUSTOMER_SPARK = """
+WITH v AS (
+  SELECT c_custkey AS k, explode(sequence(0, c_custkey % 3)) AS v
+  FROM customer
+), t AS (
+  SELECT k, v, explode(sequence(0, 3)) AS turn_idx FROM v
+)
+SELECT concat('c', k, '_v', v) AS conv_id,
+       CAST(turn_idx AS INT) AS turn_idx,
+       CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       CASE turn_idx
+         WHEN 0 THEN concat('e', k, 'a e', k, 'b e', k, 'c e', k, 'd')
+         WHEN 1 THEN concat('e', k, 'e e', k, 'f e', k, 'g')
+         WHEN 2 THEN concat('e', k, 'h v', k, 'x', v)
+         ELSE concat('e', k, 'i e', k, 'j')
+       END AS text,
+       '' AS tool,
+       timestamp_seconds(k * 1000 + v * 10 + turn_idx) AS ts
+FROM t
+"""
+
+_SQL_TRANSCRIPT_CLUSTERS = """
+SELECT 'c' || CAST(k AS VARCHAR) || '_v' || CAST(v AS VARCHAR) AS conv_id,
+       'c' || CAST(k AS VARCHAR) || '_v0' AS cluster_id
+FROM (
+  SELECT c_custkey AS k, unnest(range(0, c_custkey % 3 + 1)) AS v
+  FROM customer
+)
+"""
+
+
 def _q_transcript_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end transcript ER pipeline (north star) on the deterministic
-    synthetic corpus — rows-only driver check (CC is not expressible as
-    one non-recursive SQL query); full differential coverage lives in
-    tests/test_transcripts.py against the reference-semantics oracle."""
+    """End-to-end transcript ER pipeline (north star): rollup -> derived
+    blocking keys (incl. block capping) -> weighted scoring -> resolve ->
+    connected components, on the SQL-derived corpus above — checked
+    against the closed-form cluster oracle."""
+    from record_matcher_spark.pipeline import match_transcripts
+
+    _register_views(spark, sf_dir, ["customer"])
+    t = spark.sql(_TRANSCRIPTS_FROM_CUSTOMER_SPARK)
+    res = match_transcripts(t, edge_mode="threshold")
+    return res.clusters
+
+
+def _q_transcript_clusters_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline on the realistic noisy synthetic corpus (seeded
+    paraphrase/typo/role-noise) — rows-only driver check (clusters there
+    have no closed form); cluster-agreement and F1 coverage lives in
+    tests/test_transcripts.py against the vendored reference oracle."""
     from record_matcher_spark.datagen import generate_transcripts
     from record_matcher_spark.pipeline import match_transcripts
 
@@ -524,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_rollup": _q_session_rollup,
         "connected_components": _q_connected_components,
         "transcript_clusters": _q_transcript_clusters,
+        "transcript_clusters_corpus": _q_transcript_clusters_corpus,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -550,8 +611,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": _SQL_TOKEN_STATS,
         "session_rollup": _SQL_SESSION_ROLLUP,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
+        "transcript_clusters": _SQL_TRANSCRIPT_CLUSTERS,
         **_dataops_oracles(),
-        # transcript_clusters: intentionally no oracle (iterative CC) —
-        # driver records the rows-only check; differential coverage is in
+        # transcript_clusters_corpus: intentionally no oracle (realistic
+        # noisy corpus — clusters have no closed form); driver records the
+        # rows-only check; cluster agreement + F1 coverage is in
         # tests/test_transcripts.py
     }
