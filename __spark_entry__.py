@@ -83,6 +83,99 @@ _CFG_JW = MatchConfig(
 )
 
 
+# Status-coverage dataset: x rows engineered (pure SQL, by c_custkey mod)
+# to land in every one of the five reference statuses, plus a pulled
+# column (columns_to_get -> y_name) so the driver exercises O9 and the
+# duplicate-resolution clearing rules:
+#   mod 0,1,2,8,9: exact name copy            -> MATCHED (score 100 > opt)
+#   mod 3: blank name, seg kept               -> seg-only score ties across
+#                                                the nation block -> AMBIGUOUS
+#   mod 4: garbage name+seg                   -> no gate passes -> UNMATCHED
+#   mod 5: name || '~review~'                 -> single survivor scoring
+#                                                between required(50) and
+#                                                optimal(75) -> REVIEW
+#   mod 6 + identical clone (+2e6 row_id)     -> two x tie at 100 on one y
+#                                                -> both DUPLICATE
+#   mod 7 + worse clone (+3e6, name || 'z')   -> y-competition: clone's
+#                                                claim reset -> UNMATCHED
+#                                                with cleared annotations
+_X_STATUS = """
+SELECT c_custkey AS row_id,
+  CASE
+    WHEN c_custkey % 10 = 3 THEN ''
+    WHEN c_custkey % 10 = 4 THEN 'qq'
+    WHEN c_custkey % 10 = 5 THEN c_name || '~review~'
+    ELSE c_name
+  END AS name,
+  CASE WHEN c_custkey % 10 = 4 THEN 'zz' ELSE c_mktsegment END AS seg,
+  c_nationkey AS nk
+FROM customer
+UNION ALL
+SELECT c_custkey + 2000000 AS row_id, c_name AS name,
+       c_mktsegment AS seg, c_nationkey AS nk
+FROM customer WHERE c_custkey % 10 = 6
+UNION ALL
+SELECT c_custkey + 3000000 AS row_id, c_name || 'z' AS name,
+       c_mktsegment AS seg, c_nationkey AS nk
+FROM customer WHERE c_custkey % 10 = 7
+"""
+
+_CFG_STATUS = MatchConfig(
+    rules=(
+        ColumnRule("name", ("name",), scorer="levenshtein_ratio", threshold=75.0),
+        ColumnRule("seg", ("seg",), scorer="exact_match", threshold=75.0),
+    ),
+    columns_to_group={"nk": "nk"},
+    columns_to_get={"name": "y_name"},
+    required_threshold=50.0,
+)
+
+
+def _q_match_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8+O9+O11 driver coverage: all five statuses + pulled column."""
+    _register_views(spark, sf_dir, ["customer"])
+    x = spark.sql(_X_STATUS)
+    y = spark.sql(_Y_CUST)
+    res = resolve_matches(
+        x, y, score_pairs(x, y, _CFG_STATUS), _CFG_STATUS, keep_debug=True
+    )
+    return res.select(
+        F.col("row_id"),
+        F.col("match_status"),
+        F.col("row(s)_matched").alias("rows_matched"),
+        F.when(
+            F.col("__rm_final") != "unmatched",
+            F.round(F.col("__rm_best_score"), 6),
+        ).alias("best_score"),
+        F.col("y_name"),
+    )
+
+
+def _q_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 driver coverage: final + reference-compatible (double-counting)
+    status summaries over the status-coverage dataset."""
+    from record_matcher_spark.operators.resolve import match_summary
+
+    _register_views(spark, sf_dir, ["customer"])
+    x = spark.sql(_X_STATUS)
+    y = spark.sql(_Y_CUST)
+    res = resolve_matches(
+        x, y, score_pairs(x, y, _CFG_STATUS), _CFG_STATUS, keep_debug=True
+    )
+    final, ref_compat = match_summary(res)
+    return final.select(
+        F.lit("final").alias("summary_kind"),
+        "status",
+        F.col("count").cast("long").alias("n"),
+    ).unionByName(
+        ref_compat.select(
+            F.lit("ref_compat").alias("summary_kind"),
+            "status",
+            F.col("count").cast("long").alias("n"),
+        )
+    )
+
+
 def _match_query(cfg: MatchConfig, x_sql: str, y_sql: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_views(spark, sf_dir, ["customer"])
@@ -106,6 +199,12 @@ def _match_oracle(cfg: MatchConfig, x_sql: str, y_sql: str) -> str:
     from record_matcher_spark.plans.sql_oracle import matcher_oracle_sql
 
     return matcher_oracle_sql(cfg, x_sql, y_sql)
+
+
+def _match_summary_oracle(cfg: MatchConfig, x_sql: str, y_sql: str) -> str:
+    from record_matcher_spark.plans.sql_oracle import matcher_summary_oracle_sql
+
+    return matcher_summary_oracle_sql(cfg, x_sql, y_sql)
 
 
 # --------------------------------------------------------------------------
@@ -579,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_exact": _match_query(_CFG_EXACT, _X_EXACT, _Y_CUST),
         "match_fuzzy": _match_query(_CFG_FUZZY, _X_FUZZY, _Y_CUST),
         "match_jw": _match_query(_CFG_JW, _X_FUZZY, _Y_CUST),
+        "match_statuses": _q_match_statuses,
+        "match_summary": _q_match_summary,
         "dedup_exact": _q_dedup_exact,
         "doc_token_stats": _q_token_stats,
         "session_rollup": _q_session_rollup,
@@ -607,6 +708,10 @@ def oracle_sql() -> dict[str, str]:
         "match_exact": _match_oracle(_CFG_EXACT, _X_EXACT, _Y_CUST),
         "match_fuzzy": _match_oracle(_CFG_FUZZY, _X_FUZZY, _Y_CUST),
         "match_jw": _match_oracle(_CFG_JW, _X_FUZZY, _Y_CUST),
+        "match_statuses": _match_oracle(_CFG_STATUS, _X_STATUS, _Y_CUST),
+        "match_summary": _match_summary_oracle(
+            _CFG_STATUS, _X_STATUS, _Y_CUST
+        ),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "doc_token_stats": _SQL_TOKEN_STATS,
         "session_rollup": _SQL_SESSION_ROLLUP,

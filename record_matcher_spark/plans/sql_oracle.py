@@ -64,17 +64,13 @@ def scorer_sql(name: str, x: str, y: str) -> str:
     raise KeyError(f"no SQL template for scorer {name!r}")
 
 
-def matcher_oracle_sql(
+def _matcher_ctes(
     cfg: MatchConfig,
     x_sql: str,
     y_sql: str,
 ) -> str:
-    """Full-pipeline oracle: SELECT row_id, match_status, rows_matched,
-    best_score (rounded 6dp, NULL when nothing passed/cleared).
-
-    ``x_sql`` / ``y_sql``: subqueries producing the x and y tables with
-    cfg.x_id / cfg.y_id id columns.
-    """
+    """Shared CTE chain through ``resolved`` (phase1 + final status per x
+    row) — consumed by the per-row and summary oracle renderers."""
     rules = cfg.rules
     req = float(cfg.required_threshold)
     dup = float(cfg.duplicate_threshold)
@@ -232,12 +228,83 @@ resolved AS (
   FROM cls
   LEFT JOIN claims cl ON cl.x_id = cls.x_id
   LEFT JOIN dupn d ON d.y_id = cl.y_id
-)
+)"""
+
+
+def matcher_oracle_sql(
+    cfg: MatchConfig,
+    x_sql: str,
+    y_sql: str,
+) -> str:
+    """Full-pipeline per-row oracle: SELECT row_id, match_status,
+    rows_matched, best_score (rounded 6dp, NULL when nothing
+    passed/cleared), plus one column per ``columns_to_get`` target —
+    pulled from the claimed y row when the final status is
+    matched/review/duplicate, NULL otherwise (mirrors resolve.py's
+    ``pull_ok`` projection; reference matcher.py:368-388 with the
+    intended-semantics loser clearing).
+
+    ``x_sql`` / ``y_sql``: subqueries producing the x and y tables with
+    cfg.x_id / cfg.y_id id columns.
+    """
+    ctes = _matcher_ctes(cfg, x_sql, y_sql)
+    pull_join = ""
+    pull_cols = ""
+    if cfg.columns_to_get:
+        pv = ",\n         ".join(
+            f"y_in.{yc} AS pv_{i}"
+            for i, yc in enumerate(cfg.columns_to_get)
+        )
+        pull_join = (
+            f",\nypull AS (SELECT y_in.{cfg.y_id} AS py,\n         {pv}\n"
+            "  FROM y_in)"
+        )
+        pull_cols = "".join(
+            f",\n       CASE WHEN final_status IN ('matched','review','duplicate')"
+            f" THEN ypull.pv_{i} END AS {target}"
+            for i, target in enumerate(cfg.columns_to_get.values())
+        )
+    from_clause = (
+        "FROM resolved LEFT JOIN ypull ON ypull.py = resolved.first_y"
+        if cfg.columns_to_get
+        else "FROM resolved"
+    )
+    return f"""{ctes}{pull_join}
 SELECT x_id AS row_id,
        upper(final_status) AS match_status,
        CASE WHEN final_status = 'unmatched' THEN ''
             ELSE coalesce(tied_ids, '') END AS rows_matched,
        CASE WHEN final_status = 'unmatched' THEN NULL
-            ELSE round(best, 6) END AS best_score
-FROM resolved
+            ELSE round(best, 6) END AS best_score{pull_cols}
+{from_clause}
+"""
+
+
+def matcher_summary_oracle_sql(
+    cfg: MatchConfig,
+    x_sql: str,
+    y_sql: str,
+) -> str:
+    """Match-summary oracle (reference O12): one row per (summary_kind,
+    status) with counts.
+
+    ``final``: counts over the final status — the sane summary.
+    ``ref_compat``: replicates the reference Counter, which increments for
+    the phase-1 status AND AGAIN for each duplicate/unmatched re-mark
+    (reference matcher.py:403, 431, 447).
+    """
+    ctes = _matcher_ctes(cfg, x_sql, y_sql)
+    return f"""{ctes}
+SELECT 'final' AS summary_kind, final_status AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM resolved GROUP BY final_status
+UNION ALL
+SELECT 'ref_compat' AS summary_kind, status,
+       CAST(sum(n) AS BIGINT) AS n
+FROM (
+  SELECT phase1 AS status, count(*) AS n FROM resolved GROUP BY phase1
+  UNION ALL
+  SELECT final_status AS status, count(*) AS n FROM resolved
+  WHERE final_status <> phase1 GROUP BY final_status
+) GROUP BY status
 """

@@ -303,3 +303,22 @@ def test_randomized_differential(spark, seed):
         duplicate_threshold=rng.choice([0.0, 10.0, 200.0]),
     )
     assert_match_equal(spark, x, y, cfg)
+
+
+def test_status_coverage_query_hits_all_five_statuses(spark):
+    """The driver's match_statuses dataset must produce every reference
+    status (MATCHED / REVIEW / AMBIGUOUS / UNMATCHED / DUPLICATE) and
+    exercise the pulled column, at the driver's correctness scale."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["match_statuses"](
+        spark, "/root/testdata/sf0.01"
+    ).cache()
+    statuses = {r["match_status"] for r in df.select("match_status").distinct().collect()}
+    assert statuses == {"MATCHED", "REVIEW", "AMBIGUOUS", "UNMATCHED", "DUPLICATE"}
+    pulled = df.where("y_name IS NOT NULL").count()
+    cleared = df.where(
+        "match_status IN ('UNMATCHED', 'AMBIGUOUS') AND y_name IS NOT NULL"
+    ).count()
+    assert pulled > 0 and cleared == 0
+    df.unpersist()
