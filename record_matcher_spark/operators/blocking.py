@@ -188,11 +188,22 @@ def _cap_blocks(
     """Drop keys whose block exceeds the family's ``max_block_size``.
 
     Over-cap keys are found with a groupBy (map-side partial aggregation
-    spreads a hot key across all input partitions) and removed with a
-    broadcast anti-join. A Window.partitionBy(key) count would funnel each
-    hot block into ONE task — the hot key is exactly the block being
-    dropped, so that task serializes the stage and caps scaling at any
-    core count.
+    spreads a hot key across all input partitions) and removed with an
+    anti-join. A Window.partitionBy(key) count would funnel each hot block
+    into ONE task — the hot key is exactly the block being dropped, so
+    that task serializes the stage and caps scaling at any core count.
+
+    The over-cap set is NOT explicitly broadcast: with aggressive caps on
+    a heavy-tailed family it can grow large, and a forced broadcast would
+    risk OOM instead of degrading to a shuffle join — AQE picks the
+    strategy from the measured size at runtime.
+
+    Collision caveat: sizes are counted on the 64-bit fused hash ``_kk``
+    (shipping the raw keys again would double the shuffle payload), so a
+    same-family hash collision merges two keys' counts and can in
+    principle drop an under-cap block (bounded recall loss with
+    probability ~pairs/2^64 — distinct from the join-side collision mode,
+    which only ever ADDS a spurious candidate).
     """
     if not any(k.max_block_size for k in keys):
         return keyed
@@ -208,7 +219,7 @@ def _cap_blocks(
         .where(over_cond)
         .select("_kk", "_f")
     )
-    return keyed.join(F.broadcast(over), ["_kk", "_f"], "left_anti")
+    return keyed.join(over, ["_kk", "_f"], "left_anti")
 
 
 def candidate_pairs(
@@ -220,35 +231,42 @@ def candidate_pairs(
     y_id: str = "conv_id",
     dedup_mode: bool = False,
     cache: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Blocked candidate generation, deduped → [x_id, y_id].
 
     One tagged keyed relation per side (all families unioned, §_tagged_keys)
-    is capped (§_cap_blocks), persisted, and equi-joined ONCE on the fused
-    key. When both sides are the same DataFrame (dedup/self-match mode) the
-    keyed relation is computed and cached a single time and joined with
-    itself — key derivation (notably the MinHash explode+agg) runs once,
-    not once per side per family.
+    is persisted BEFORE capping — the cap's count branch, the cap's
+    anti-join probe branch, and the join side(s) all read the cached
+    relation, so key derivation (notably the MinHash explode+agg) runs
+    once per side, not once per consumer. When both sides are the same
+    DataFrame (dedup/self-match mode) a single keyed relation is joined
+    with itself.
 
     ``dedup_mode`` (y_df=None or y_df is x_df with dedup_mode=True):
     keep x_id < y_id — no identity pairs, each unordered pair once.
-    ``cache``: persist the keyed relation(s) (it is consumed 2-3 times:
-    block-size capping + each join side).
+    ``cache``: persist the pre-cap keyed relation(s).
+    ``persisted``: caller-supplied list that receives every DataFrame this
+    call persists — unpersist them once the output is materialized
+    (repeated invocations in one session would otherwise accumulate
+    storage). :func:`record_matcher_spark.pipeline.match_transcripts`
+    threads this through to ``TranscriptMatchResult.unpersist()``.
     """
     if y_df is None:
         y_df = x_df
         dedup_mode = True
     same_side = y_df is x_df and x_id == y_id
 
-    kx = _cap_blocks(_tagged_keys(x_df, x_id, keys), keys)
-    if cache:
-        kx = kx.persist()
-    if same_side:
-        ky = kx
-    else:
-        ky = _cap_blocks(_tagged_keys(y_df, y_id, keys), keys)
+    def _keyed_side(df: DataFrame, id_col: str) -> DataFrame:
+        tagged = _tagged_keys(df, id_col, keys)
         if cache:
-            ky = ky.persist()
+            tagged = tagged.persist()
+            if persisted is not None:
+                persisted.append(tagged)
+        return _cap_blocks(tagged, keys)
+
+    kx = _keyed_side(x_df, x_id)
+    ky = kx if same_side else _keyed_side(y_df, y_id)
 
     left = kx.select("_kk", F.col("_id").alias("x_id"))
     right = ky.select("_kk", F.col("_id").alias("y_id"))

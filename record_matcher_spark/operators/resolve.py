@@ -168,13 +168,15 @@ def resolve_matches(
     # Claimless rows (NULL claim — typically MOST of x) would all hash to
     # the single NULL window partition and serialize into one task; give
     # each a unique synthetic key instead (their window outputs are nulled
-    # by the has_claim guard anyway, so the value never matters).
+    # by the has_claim guard anyway, so the value never matters). The key
+    # is a two-field composite — (claim, spread) with exactly one field
+    # non-NULL — so a user-supplied y id can never collide with a
+    # synthetic no-claim key (a single concatenated string namespace
+    # could alias and inflate a claim's count).
     has_claim = F.col(MATCHED_Y).isNotNull()
     wy = Window.partitionBy(
-        F.coalesce(
-            F.col(MATCHED_Y).cast("string"),
-            F.concat(F.lit("__rm_noclaim_"), F.col(cfg.x_id).cast("string")),
-        )
+        F.col(MATCHED_Y),
+        F.when(has_claim, F.lit(None)).otherwise(F.col(cfg.x_id)),
     )
     xr = (
         xr.withColumn(

@@ -221,6 +221,12 @@ def score_pairs(
 
     ``broadcast_y``: force/forbid a broadcast-hash join of the y side;
     default None lets Catalyst + AQE decide.
+
+    Laziness note: the per-column uniqueness aggregate (O2) runs EAGERLY
+    here — one Spark job over x producing an O(columns) result that is
+    folded into the plan as double literals. The returned DataFrame is
+    otherwise lazy. Pass a precomputed map via :func:`prepare_x` to keep
+    plan construction job-free.
     """
     cfg.validate(x_df.columns, y_df.columns, require_blocking=require_blocking)
 
@@ -236,8 +242,10 @@ def score_pairs(
     # the y side is broadcast (no shuffle between scan and scoring). A small
     # parquet x (one split) would serialize the whole candidate-pair scoring
     # onto one core — fan out first. At scale the scan already has >= target
-    # partitions and this is a no-op (no shuffle added).
-    if min_parallelism and xp.rdd.getNumPartitions() < min_parallelism:
+    # partitions and this is a no-op (no shuffle added). The probe runs on
+    # the RAW input (pre-projection, partitioning-equivalent), so it never
+    # touches the scorer prep expressions / pandas UDF columns.
+    if min_parallelism and x_df.rdd.getNumPartitions() < min_parallelism:
         xp = xp.repartition(min_parallelism)
 
     yp = _y_side(y_df, cfg, extra=cfg.columns_to_group)

@@ -66,6 +66,18 @@ class TranscriptMatchResult:
     resolved: DataFrame  # per-conversation status + claim (keep_debug)
     edges: DataFrame  # [src, dst] undirected match edges
     clusters: DataFrame  # [conv_id, cluster_id]
+    persisted: list = field(default_factory=list)  # every DF this run cached
+
+    def unpersist(self) -> None:
+        """Release every DataFrame the pipeline persisted (call after the
+        outputs are materialized — repeated pipeline runs in one session
+        would otherwise accumulate executor storage)."""
+        for df in self.persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self.persisted.clear()
 
 
 def match_transcripts(
@@ -98,6 +110,7 @@ def match_transcripts(
     cfg = cfg or default_transcript_match_config()
     cfg_key = repr(cfg)
     key_names = [k.name for k in keys]
+    persisted: list = []
 
     def _stage(name: str, build, config=None):
         """store: committed Iceberg/parquet write (resumable across runs);
@@ -109,13 +122,17 @@ def match_transcripts(
         if store is not None:
             return store.run_stage(name, build, config=config)
         df = build()
-        return df.persist() if cache else df
+        if cache:
+            df = df.persist()
+            persisted.append(df)
+        return df
 
     conv = _stage("conversations", lambda: rollup_conversations(transcripts))
     cand = _stage(
         "candidates",
         lambda: candidate_pairs(
-            conv, conv, keys, x_id=cfg.x_id, y_id=cfg.y_id
+            conv, conv, keys, x_id=cfg.x_id, y_id=cfg.y_id,
+            cache=cache, persisted=persisted,
         ).where(F.col("x_id") != F.col("y_id")),
         config=key_names,
     )
@@ -155,7 +172,9 @@ def match_transcripts(
     all_clusters = _stage(
         "clusters", _build_clusters, config=[edge_mode, *edge_statuses]
     )
-    return TranscriptMatchResult(conv, cand, pairs, resolved, edges, all_clusters)
+    return TranscriptMatchResult(
+        conv, cand, pairs, resolved, edges, all_clusters, persisted
+    )
 
 
 def pairwise_f1(

@@ -167,3 +167,40 @@ def test_pipeline_threshold_mode_f1(spark):
     metrics = pairwise_f1(res.clusters, truth, res.candidates)
     assert metrics["f1"] >= 0.95, metrics
     assert metrics["precision"] >= 0.95, metrics
+
+
+def test_block_cap_bounds_hot_block(spark):
+    """Skew smoke (SURVEY §5.3): one hot blocking key >> all others must be
+    dropped by the family cap, so candidate counts (max per-key join input)
+    stay bounded instead of going O(hot^2); recall for the hot-shaped rows
+    comes from other key families by design."""
+    from record_matcher_spark.operators.blocking import BlockingKey
+
+    rows = [(f"h{i}", "HOT") for i in range(500)] + [
+        (f"c{i}", f"cold{i // 3}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, shape string")
+    key = BlockingKey("shape", lambda d: F.col("shape"), max_block_size=64)
+    cand = candidate_pairs(df, df, [key], dedup_mode=True, cache=False)
+    pairs = cand.collect()
+    # hot block (500 rows -> would be 124,750 pairs) must contribute none
+    assert all(a.startswith("c") and b.startswith("c") for a, b in map(tuple, pairs))
+    # cold blocks of 3 -> 3 unordered pairs each
+    assert len(pairs) == 60
+    # uncapped control: the same key without a cap explodes combinatorially
+    uncapped = BlockingKey("shape", lambda d: F.col("shape"))
+    n_uncapped = candidate_pairs(df, df, [uncapped], dedup_mode=True,
+                                 cache=False).count()
+    assert n_uncapped == 124_750 + 60
+
+
+def test_pipeline_unpersist_releases_cached_frames(spark):
+    """match_transcripts registers every persisted DataFrame and
+    unpersist() releases them (no storage accumulation across runs)."""
+    t, _ = _corpus(spark)
+    res = match_transcripts(t, edge_mode="threshold")
+    res.clusters.count()
+    assert len(res.persisted) >= 4  # conv, keyed relation, cand, pairs, clusters
+    assert any(df.storageLevel.useMemory for df in res.persisted)
+    res.unpersist()
+    assert res.persisted == []
