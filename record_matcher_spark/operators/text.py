@@ -39,9 +39,15 @@ BPE_ISH_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """-> [id, lang, lang_score]: argmax stopword-hit count, ties broken
     by language code ascending; any CJK char forces 'zh'; no hits at all
-    -> 'und'. One projection + one small explode (|langs| rows per doc)
-    + one window — no shuffle beyond the window at scale (partition by
-    doc id, which is the natural partitioning)."""
+    -> 'und'.
+
+    PURE PROJECTION — the argmax runs inside one row expression
+    (``array_max`` over (score, -profile_index, lang) structs: struct
+    comparison is field-wise, so the max has the highest score and, on
+    ties, the lowest profile index = lexicographically first language).
+    No explode, no window, no shuffle — embarrassingly parallel at any
+    scale. The DuckDB oracle keeps an explode+window formulation; only
+    values must agree."""
     toks = F.array_distinct(TH.tokens_expr(F.col(text_col)))
     scored = df.select(
         F.col(id_col).alias("id"),
@@ -52,33 +58,29 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda c: (c >= 0x4E00) & (c <= 0x9FFF),
         ).alias("_cjk"),
     )
-    profile_scores = F.array(
-        *[
-            F.struct(
-                F.size(
-                    F.array_intersect(
-                        "_toks", F.array(*[F.lit(w) for w in words])
-                    )
-                ).alias("score"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, words in sorted(LANG_PROFILES.items())
-        ]
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.size(
+                        F.array_intersect(
+                            "_toks", F.array(*[F.lit(w) for w in words])
+                        )
+                    ).alias("s"),
+                    F.lit(-i).alias("ni"),
+                    F.lit(lang).alias("l"),
+                )
+                for i, (lang, words) in enumerate(sorted(LANG_PROFILES.items()))
+            ]
+        )
     )
-    ex = scored.select(
-        "id", "_cjk", F.explode(profile_scores).alias("p")
-    ).select("id", "_cjk", F.col("p.lang").alias("l"), F.col("p.score").alias("s"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy(F.desc("s"), F.asc("l"))
-    best = ex.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return best.select(
+    return scored.select(
         "id",
         F.when(F.col("_cjk"), F.lit("zh"))
-        .when(F.col("s") > 0, F.col("l"))
+        .when(best["s"] > 0, best["l"])
         .otherwise(F.lit("und"))
         .alias("lang"),
-        F.col("s").cast("long").alias("lang_score"),
+        best["s"].cast("long").alias("lang_score"),
     )
 
 
