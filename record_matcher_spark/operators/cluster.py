@@ -129,7 +129,14 @@ def connected_components(
 
     prev_sig = None
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # ONE star round per lazy localCheckpoint: the round's input is
+        # consumed 3-4x by the star operators, so it MUST be materialized
+        # every round (batching two rounds per checkpoint was measured
+        # 2.2x slower — the unmaterialized intermediate re-executes per
+        # consumer). The checkpoint is lazy so the signature aggregate
+        # below is the single action per round — it materializes the
+        # checkpoint as a side effect instead of running a separate job.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = signature(e)
         if sig == prev_sig:
             break

@@ -67,6 +67,7 @@ class TranscriptMatchResult:
     edges: DataFrame  # [src, dst] undirected match edges
     clusters: DataFrame  # [conv_id, cluster_id]
     persisted: list = field(default_factory=list)  # every DF this run cached
+    observations: dict = field(default_factory=dict)  # stage -> Observation
 
     def unpersist(self) -> None:
         """Release every DataFrame the pipeline persisted (call after the
@@ -79,6 +80,15 @@ class TranscriptMatchResult:
                 pass
         self.persisted.clear()
 
+    def progress(self) -> dict[str, dict]:
+        """Per-stage metrics collected by ``Observation`` DURING the stage
+        actions (no extra jobs — the Spark-native replacement for the
+        reference's per-x ``update_func`` callback, matcher.py:320,
+        405-406). Call after materializing the outputs (e.g.
+        ``clusters.count()``); each stage's metrics appear once its first
+        action has run."""
+        return {name: dict(ob.get) for name, ob in self.observations.items()}
+
 
 def match_transcripts(
     transcripts: DataFrame,
@@ -88,6 +98,7 @@ def match_transcripts(
     edge_statuses: tuple[str, ...] = ("matched", "review"),
     cache: bool = True,
     store=None,
+    observe: bool = False,
 ) -> TranscriptMatchResult:
     """Dedup-mode pipeline: every conversation is matched against its
     blocked candidates (directed, reference semantics incl. duplicate
@@ -104,6 +115,13 @@ def match_transcripts(
       ``row_score >= required_threshold``: standard ER transitive closure,
       higher recall against entity truth. Classification columns are still
       produced (resolved), only edge extraction differs.
+
+    ``observe``: attach per-stage ``Observation`` metrics (rows, score
+    stats, pass counts), collected during the stage actions themselves —
+    the Spark-native replacement for the reference's per-x ``update_func``
+    progress callback (matcher.py:320, 405-406). Read them via
+    ``result.progress()`` after materializing the outputs; pair with
+    ``store.log_metrics`` for a durable audit trail.
     """
     if edge_mode not in ("best_match", "threshold"):
         raise ValueError(f"unknown edge_mode {edge_mode!r}")
@@ -111,6 +129,21 @@ def match_transcripts(
     cfg_key = repr(cfg)
     key_names = [k.name for k in keys]
     persisted: list = []
+    observations: dict = {}
+
+    def _obs(df: DataFrame, name: str, *aggs):
+        """Attach a named Observation: metrics are collected by the
+        executors DURING the stage's first materialization (zero extra
+        jobs). Only stages inside the clusters DAG are observed, so every
+        observation is guaranteed to fire once the caller materializes
+        the output (Observation.get blocks until its node executes)."""
+        if not observe:
+            return df
+        from pyspark.sql import Observation
+
+        ob = Observation()
+        observations[name] = ob
+        return df.observe(ob, *aggs)
 
     def _stage(name: str, build, config=None):
         """store: committed Iceberg/parquet write (resumable across runs);
@@ -127,18 +160,44 @@ def match_transcripts(
             persisted.append(df)
         return df
 
-    conv = _stage("conversations", lambda: rollup_conversations(transcripts))
+    # The ordered `turns` array is the heaviest rollup column and no
+    # pipeline stage reads it (blocking/scoring consume only the derived
+    # match columns) — drop it before the persist so the conversations
+    # cache and every downstream shuffle carry a slim payload. Callers
+    # needing the full rollup use operators.rollup directly.
+    conv = _stage(
+        "conversations",
+        lambda: _obs(
+            rollup_conversations(transcripts).drop("turns"),
+            "conversations",
+            F.count(F.lit(1)).alias("n_conversations"),
+            F.avg("n_turns").alias("avg_turns"),
+        ),
+    )
     cand = _stage(
         "candidates",
-        lambda: candidate_pairs(
-            conv, conv, keys, x_id=cfg.x_id, y_id=cfg.y_id,
-            cache=cache, persisted=persisted,
-        ).where(F.col("x_id") != F.col("y_id")),
+        lambda: _obs(
+            candidate_pairs(
+                conv, conv, keys, x_id=cfg.x_id, y_id=cfg.y_id,
+                cache=cache, persisted=persisted,
+            ).where(F.col("x_id") != F.col("y_id")),
+            "candidates",
+            F.count(F.lit(1)).alias("n_candidates"),
+        ),
         config=key_names,
     )
     pairs = _stage(
         "pairs",
-        lambda: score_candidate_pairs(conv, conv, cand, cfg),
+        lambda: _obs(
+            score_candidate_pairs(conv, conv, cand, cfg),
+            "pairs",
+            F.count(F.lit(1)).alias("n_scored_pairs"),
+            F.avg("row_score").alias("avg_score"),
+            F.sum(
+                (F.col("row_score") >= F.lit(float(cfg.required_threshold)))
+                .cast("long")
+            ).alias("n_passing"),
+        ),
         config=cfg_key,
     )
     resolved = resolve_matches(conv, conv, pairs, cfg, keep_debug=True)
@@ -160,20 +219,24 @@ def match_transcripts(
             F.col("component").alias("cluster_id"),
         )
         # conversations without any edge keep their own id as cluster
-        return (
+        return _obs(
             conv.select("conv_id")
             .join(clusters, "conv_id", "left")
             .select(
                 "conv_id",
                 F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"),
-            )
+            ),
+            "clusters",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct("cluster_id").alias("n_clusters_approx"),
         )
 
     all_clusters = _stage(
         "clusters", _build_clusters, config=[edge_mode, *edge_statuses]
     )
     return TranscriptMatchResult(
-        conv, cand, pairs, resolved, edges, all_clusters, persisted
+        conv, cand, pairs, resolved, edges, all_clusters, persisted,
+        observations,
     )
 
 

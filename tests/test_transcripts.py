@@ -204,3 +204,19 @@ def test_pipeline_unpersist_releases_cached_frames(spark):
     assert any(df.storageLevel.useMemory for df in res.persisted)
     res.unpersist()
     assert res.persisted == []
+
+
+def test_observation_progress_metrics(spark):
+    """observe=True collects per-stage metrics during the stage actions
+    (Observation — the Spark-native update_func replacement) without any
+    extra jobs; numbers agree with direct counts."""
+    t, _ = _corpus(spark)
+    res = match_transcripts(t, edge_mode="threshold", observe=True)
+    n = res.clusters.count()
+    prog = res.progress()
+    assert set(prog) == {"conversations", "candidates", "pairs", "clusters"}
+    assert prog["conversations"]["n_conversations"] == res.conversations.count()
+    assert prog["clusters"]["n_rows"] == n
+    assert prog["pairs"]["n_scored_pairs"] >= prog["pairs"]["n_passing"] > 0
+    assert prog["conversations"]["avg_turns"] > 1
+    res.unpersist()
