@@ -222,6 +222,15 @@ def score_pairs(
     ``broadcast_y``: force/forbid a broadcast-hash join of the y side;
     default None lets Catalyst + AQE decide.
 
+    ``min_parallelism``: fan-out floor for the x side (see the inline
+    comment at the probe below). The default probes the input's physical
+    partition count via ``x_df.rdd.getNumPartitions()`` — an accurate but
+    not free check (it converts the analyzed plan to an RDD; with AQE and
+    a shuffling upstream plan that can materialize query stages). Pass
+    ``0`` to skip the probe entirely when the caller knows the input is
+    already well-partitioned, or an explicit int to change the floor (the
+    probe still runs; repartition only happens when below the floor).
+
     Laziness note: the per-column uniqueness aggregate (O2) runs EAGERLY
     here — one Spark job over x producing an O(columns) result that is
     folded into the plan as double literals. The returned DataFrame is
