@@ -323,6 +323,7 @@ def score_candidate_pairs(
     cfg: MatchConfig,
     *,
     keep_column_scores: bool = False,
+    uniqueness: Mapping[str, float] | None = None,
 ) -> DataFrame:
     """Score an explicit candidate-pair set (from operators.blocking)
     instead of deriving candidates from ``cfg.columns_to_group``.
@@ -333,13 +334,19 @@ def score_candidate_pairs(
     *under identical blocking keys* (BASELINE.json), so the oracle consumes
     the same candidate set.
 
+    ``uniqueness``: precomputed per-column uniqueness map for the x-side
+    weights (see :func:`prepare_x`). Default None computes it over
+    ``x_df`` — correct for one-shot batch runs; incremental callers pass
+    corpus-level values so a small batch's skewed column statistics don't
+    shift the weights (pipeline match_increment).
+
     Two shuffle-joins (candidates↔x on x_id, result↔y on y_id), both plain
     equi-joins AQE can re-plan (broadcast when a side is small, skew-split
     on hot ids).
     """
     cfg.validate(x_df.columns, y_df.columns)
 
-    x = prepare_x(x_df, cfg)
+    x = prepare_x(x_df, cfg, uniqueness=uniqueness)
     xp = x.select(*_x_side_columns(cfg))
     yp = _y_side(y_df, cfg)
 
