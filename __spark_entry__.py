@@ -611,6 +611,32 @@ def _q_transcript_clusters_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
     return res.clusters
 
 
+def _q_transcript_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ER (incremental.match_increment) with the same closed
+    form as transcript_clusters: base corpus = variants v<2 of entities
+    with k % 7 != 0, clustered by the batch pipeline; everything else
+    arrives as a new batch and is folded in incrementally (v2 variants
+    attach to existing base clusters; withheld k % 7 == 0 entities enter
+    entirely through the batch and form new clusters). Wide margins =>
+    no merges, and every conversation of entity k labels 'c<k>_v0' — the
+    batch and incremental paths provably agree, so the oracle is the very
+    same one-SELECT closed form."""
+    from record_matcher_spark.incremental import apply_merges, match_increment
+    from record_matcher_spark.pipeline import match_transcripts
+
+    _register_views(spark, sf_dir, ["customer"])
+    t = spark.sql(_TRANSCRIPTS_FROM_CUSTOMER_SPARK)
+    k = F.regexp_extract("conv_id", r"c(\d+)_v", 1).cast("long")
+    v = F.regexp_extract("conv_id", r"_v(\d+)$", 1).cast("long")
+    in_base = (v < F.lit(2)) & (k % 7 != 0)
+    base = match_transcripts(t.where(in_base), edge_mode="threshold")
+    inc = match_increment(
+        t.where(~in_base), base.conversations, base.clusters,
+        edge_mode="threshold",
+    )
+    return apply_merges(base.clusters, inc.merges).unionByName(inc.assignments)
+
+
 def _dataops_oracles() -> dict[str, str]:
     from record_matcher_spark.operators import dedup, similarity
     from record_matcher_spark.operators import multimodal
@@ -686,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "transcript_clusters": _q_transcript_clusters,
         "transcript_clusters_corpus": _q_transcript_clusters_corpus,
+        "transcript_increment": _q_transcript_increment,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -717,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "session_rollup": _SQL_SESSION_ROLLUP,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "transcript_clusters": _SQL_TRANSCRIPT_CLUSTERS,
+        "transcript_increment": _SQL_TRANSCRIPT_CLUSTERS,
         **_dataops_oracles(),
         # transcript_clusters_corpus: intentionally no oracle (realistic
         # noisy corpus — clusters have no closed form); driver records the

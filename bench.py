@@ -70,20 +70,25 @@ def main() -> None:
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    # Best of 2 executions per query: interference on this shared VM is
-    # one-sided (only ever slows a run down) and first execution of a
-    # plan additionally pays per-query-class JIT — min wall-clock is the
-    # steady-state number a long-lived cluster job sees. Both runs
-    # materialize fully through the noop sink.
+    # Steady-state protocol: the FIRST execution of each query class pays
+    # whole-stage-codegen JIT (measured ~6x CPU on the pair-scoring stage:
+    # 731 vs 121 core-seconds cold vs warm) — discard it, then report the
+    # best of 2 timed executions (interference on this shared VM is
+    # one-sided: it only ever slows a run down). A long-lived cluster job
+    # compiles its classes once, so min warm wall-clock is the number a
+    # production run sees. Every execution materializes fully through the
+    # noop sink.
     for name in bench_queries:
         if name not in qs:
             continue
         df = qs[name](spark, sf_dir)
         best = None
-        for _ in range(2):
+        for i in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            if i == 0:
+                continue  # JIT warm-up, discarded
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
@@ -102,12 +107,13 @@ def main() -> None:
     n_convs = truth.select("conv_id").distinct().count()
     best_dt = None
     n_clusters = 0
-    for _ in range(2):  # best-of-2 (same protocol as above)
+    for i in range(3):  # 1 JIT warm-up discarded + best-of-2 (as above)
         t0 = time.perf_counter()
         res = match_transcripts(t_df, edge_mode="threshold")
         n_clusters = res.clusters.select("cluster_id").distinct().count()
         dt = time.perf_counter() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+        if i > 0:
+            best_dt = dt if best_dt is None else min(best_dt, dt)
         res.unpersist()
     timings["transcripts_match"] = round(best_dt, 3)
     convs_per_sec = round(n_convs / best_dt, 1)

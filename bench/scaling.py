@@ -9,6 +9,11 @@ interference only ever slows a run down):
   JIT/heap state);
 - one warm-up run is discarded (first-JVM jar loading + VM page-faulting
   measured up to 5x slower than steady state);
+- inside every JVM the worker first executes the full pipeline once on a
+  small corpus, untimed, so whole-stage-codegen classes are JIT-compiled
+  before the timed run (cold codegen measured ~6x CPU on the scoring
+  stage; a long-lived executor pays it once per job class, so steady
+  state is the comparable quantity);
 - configs alternate (4N, N, 4N, N, ...) so drift hits both equally;
 - per config the BEST of ``trials`` runs is reported (min wall = the run
   with least interference; medians are also printed for transparency).
@@ -79,7 +84,10 @@ North rule: throughput scaling efficiency >= 0.8 from N to 4N executors.
 Sandbox proxy (BASELINE.md): the same pipeline on the same cached input
 at `local[{n_lo}]` (N) vs `local[{n_hi}]` (4N), shuffle partitions fixed
 at 32 so plan shape and task count are identical — only executor-thread
-parallelism varies. Isolated JVM per run; 1 warm-up run discarded;
+parallelism varies. Isolated JVM per run; 1 warm-up run discarded; inside
+each JVM one untimed small-corpus pipeline execution JIT-compiles the
+codegen classes before the timed run (cold codegen measured ~6x CPU on
+the scoring stage — steady state is what a long-lived executor sees);
 alternating trials; best-of-{trials} per config (noise on this shared VM
 is one-sided — see bench/scaling.py docstring). Two sandbox-only
 confounders are removed so the measurement reflects executor parallelism

@@ -54,6 +54,25 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JIT warm-up (untimed): run the same pipeline end-to-end on a small
+    # corpus first. Whole-stage-codegen classes are keyed by plan shape
+    # (shuffle partitions fixed, AQE state identical), so this compiles
+    # every generated class the timed run reuses — a fresh JVM otherwise
+    # pays interpreted/C1 execution *inside* the measurement (measured
+    # ~6x CPU on the first execution of the pair-scoring stage class:
+    # 731 vs 121 core-seconds). A long-lived cluster executor compiles a
+    # job's classes once; steady-state throughput is the quantity the
+    # north rule compares across cluster sizes.
+    warm_df, _ = generate_transcripts(
+        spark, min(n_entities, 20000), seed=seed + 1, num_partitions=32
+    )
+    warm_df = warm_df.cache()
+    warm_df.count()
+    warm_res = match_transcripts(warm_df, edge_mode="threshold")
+    warm_res.clusters.select("cluster_id").distinct().count()
+    warm_res.unpersist()
+    warm_df.unpersist()
+
     t_df, truth = generate_transcripts(spark, n_entities, seed=seed,
                                        num_partitions=32)
     t_df = t_df.cache()
