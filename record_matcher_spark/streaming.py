@@ -277,9 +277,9 @@ class TranscriptStreamMatcher:
         cur = self.state()
         if cur is None:
             raise InvalidConfigError("nothing to compact: no committed state")
-        old = self._live()
+        new_gen = cur.generation + 1
         self._commit_segment(
-            cur.generation + 1,
+            new_gen,
             cur.batch_id,
             self.conversations(),
             self.clusters(),
@@ -287,8 +287,12 @@ class TranscriptStreamMatcher:
                 [], "old_cluster_id string, cluster_id string"
             ),
         )
-        for g, b in old:
-            shutil.rmtree(self._dir(g, b), ignore_errors=True)
+        # drop EVERY older-generation segment, including leftovers of a
+        # previously crashed compaction (readers only see the max
+        # committed generation, so these are dead weight either way)
+        for g, b in self._segments():
+            if g < new_gen:
+                shutil.rmtree(self._dir(g, b), ignore_errors=True)
         out = self.state()
         assert out is not None
         return out
