@@ -41,8 +41,25 @@ Exactly-once: Structured Streaming replays a failed micro-batch with the
 SAME ``batch_id``; the sink skips any batch_id at or below the last
 committed one, and a torn write (crash before ``_COMMIT``) leaves a
 marker-less directory that recovery ignores and the replay overwrites.
-On local/HDFS filesystems the marker create is atomic; on object stores
-the Iceberg-backed variant provides the transaction.
+Binding a NEW streaming checkpoint to an existing store would restart
+batch numbering at 0 and alias the replay guard, so :meth:`start` records
+its checkpoint in ``_STREAM`` and refuses a different one unless
+``rebind_checkpoint=True`` — which installs a batch-id offset so the new
+query's ids continue after the last committed batch.
+
+Ingest contract: a conversation's turns must arrive WHOLE within one
+micro-batch, and a conv_id never re-appears in a later batch (the
+upstream writer emits complete conversations — e.g. files partitioned by
+conversation; this is the same contract match_increment states).
+``process_batch`` enforces it by anti-joining the batch's conv_ids
+against the corpus and raising on overlap (``check_disjoint=False``
+skips the scan when the upstream provably guarantees it).
+
+This parquet store addresses the state through the DRIVER's filesystem
+(markers + listings are plain ``os`` calls) — the sandbox stand-in. In
+production the three tables are Iceberg tables and each ``_COMMIT`` is a
+transactional append (BASELINE.json north_star); the log/segment/
+generation protocol maps 1:1 onto snapshots.
 """
 
 from __future__ import annotations
@@ -55,11 +72,10 @@ from dataclasses import dataclass
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from record_matcher_spark.config import MatchConfig
 from record_matcher_spark.errors import InvalidConfigError
-from record_matcher_spark.incremental import match_increment
+from record_matcher_spark.incremental import apply_merges, match_increment
 from record_matcher_spark.operators.blocking import (
     DEFAULT_TRANSCRIPT_KEYS,
     BlockingKey,
@@ -177,10 +193,16 @@ class TranscriptStreamMatcher:
         magnitude rarer than rows; collecting them to the driver is the
         same size class as the blocking caps' over-cap key set.
         """
+        paths = [
+            os.path.join(self._dir(g, b), "merges") for g, b in self._live()
+        ]
         m: dict[str, str] = {}
-        for g, b in self._live():
-            p = os.path.join(self._dir(g, b), "merges")
-            for r in self.spark.read.parquet(p).collect():
+        if paths:
+            # one job over every segment: a merged-away label never
+            # re-appears as a later merge's old_cluster_id (it is no
+            # longer a label in the composed view), so each key occurs
+            # once across the whole log and read order is irrelevant
+            for r in self.spark.read.parquet(*paths).collect():
                 m[r["old_cluster_id"]] = r["cluster_id"]
 
         def resolve(label: str) -> str:
@@ -209,15 +231,12 @@ class TranscriptStreamMatcher:
         mm = self._merge_map()
         if not mm:
             return assigns
-        map_df = F.broadcast(
-            self.spark.createDataFrame(
-                list(mm.items()), "cluster_id string, __rm_new_cl string"
-            )
+        merges_df = self.spark.createDataFrame(
+            list(mm.items()), "old_cluster_id string, cluster_id string"
         )
-        return assigns.join(map_df, "cluster_id", "left").select(
-            "conv_id",
-            F.coalesce("__rm_new_cl", "cluster_id").alias("cluster_id"),
-        )
+        # mm is already transitively composed, so one apply_merges hop
+        # (broadcast relabel join) lands every row on its final survivor
+        return apply_merges(assigns, merges_df)
 
     def _commit_segment(
         self,
@@ -238,12 +257,26 @@ class TranscriptStreamMatcher:
 
     # -- lifecycle ------------------------------------------------------
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def process_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        *,
+        check_disjoint: bool = True,
+    ) -> None:
         """The foreachBatch sink: fold one micro-batch into the corpus.
 
         Idempotent on replay — a ``batch_id`` at or below the last
         committed one is skipped (Structured Streaming re-delivers the
         failed batch with the same id after restart).
+
+        ``check_disjoint``: enforce the ingest contract (module docstring)
+        — a conv_id already in the corpus means this batch carries a
+        PARTIAL conversation (its turns straddled a batch boundary) and
+        folding it would commit a second, conflicting rollup; refuse
+        loudly instead. The check is one semi-join of the batch's ids
+        against the slim conversation log; disable only when the upstream
+        writer provably emits whole conversations exactly once.
         """
         batch_id = int(batch_id)
         cur = self.state()
@@ -255,6 +288,26 @@ class TranscriptStreamMatcher:
 
         base_conv = self.conversations()
         base_cl = self.clusters()
+        if check_disjoint and cur is not None:
+            # no broadcast hint: the batch id-set is usually small but not
+            # bounded; AQE picks broadcast when it fits (cf. the blocking
+            # cap's anti-join, operators/blocking.py)
+            dup = (
+                base_conv.select("conv_id")
+                .join(batch_df.select("conv_id").distinct(), "conv_id")
+                .limit(5)
+                .collect()
+            )
+            if dup:
+                ids = ", ".join(r["conv_id"] for r in dup)
+                raise InvalidConfigError(
+                    f"batch {batch_id} re-delivers conversation(s) already "
+                    f"in the corpus ({ids}, ...): a conversation's turns "
+                    "must arrive whole within one micro-batch. Fix the "
+                    "upstream batching (files partitioned by conversation) "
+                    "or pass check_disjoint=False if this id reuse is "
+                    "intentional."
+                )
         inc = match_increment(
             batch_df, base_conv, base_cl, self.keys, self.cfg,
             edge_mode=self.edge_mode, uniqueness=self.uniqueness,
@@ -287,15 +340,60 @@ class TranscriptStreamMatcher:
                 [], "old_cluster_id string, cluster_id string"
             ),
         )
-        # drop EVERY older-generation segment, including leftovers of a
-        # previously crashed compaction (readers only see the max
-        # committed generation, so these are dead weight either way)
-        for g, b in self._segments():
-            if g < new_gen:
-                shutil.rmtree(self._dir(g, b), ignore_errors=True)
+        # drop EVERY other segment dir below or at the new generation —
+        # committed older generations, and torn (marker-less) leftovers
+        # of crashed commits/compactions, which readers already ignore
+        # but would otherwise leak disk forever
+        for name in os.listdir(self.state_dir):
+            m = _DIR_RE.match(name)
+            if not m:
+                continue
+            g, b = int(m.group(1)), int(m.group(2))
+            if (g, b) == (new_gen, cur.batch_id):
+                continue  # the snapshot just committed
+            committed = os.path.exists(
+                os.path.join(self.state_dir, name, _COMMIT)
+            )
+            if g < new_gen or (not committed and g <= new_gen):
+                shutil.rmtree(
+                    os.path.join(self.state_dir, name), ignore_errors=True
+                )
         out = self.state()
         assert out is not None
         return out
+
+    def _bind_checkpoint(self, checkpoint_dir: str) -> int:
+        """Register this stream binding; return the batch-id offset.
+
+        A streaming query numbers its batches from 0 PER CHECKPOINT, while
+        the replay guard is keyed on committed batch ids — so binding a
+        fresh checkpoint to a non-empty store would make every new batch
+        look like a replay and be silently dropped. The binding file pins
+        the checkpoint; a different one is refused unless
+        ``rebind_checkpoint=True``, which records an offset continuing the
+        committed numbering (new query's batch 0 → last committed + 1).
+        """
+        os.makedirs(self.state_dir, exist_ok=True)
+        path = os.path.join(self.state_dir, "_STREAM")
+        norm = os.path.abspath(checkpoint_dir)
+        if os.path.exists(path):
+            with open(path) as f:
+                bound = json.load(f)
+            if bound["checkpoint_dir"] == norm:
+                return int(bound["batch_id_offset"])
+            raise InvalidConfigError(
+                f"state {self.state_dir} is bound to checkpoint "
+                f"{bound['checkpoint_dir']!r}; starting with "
+                f"{norm!r} would restart batch numbering at 0 and the "
+                "replay guard would drop every batch. Reuse the original "
+                "checkpoint, or pass rebind_checkpoint=True to continue "
+                "numbering from the last committed batch."
+            )
+        cur = self.state()
+        offset = cur.batch_id + 1 if cur is not None else 0
+        with open(path, "w") as f:
+            json.dump({"checkpoint_dir": norm, "batch_id_offset": offset}, f)
+        return offset
 
     def start(
         self,
@@ -306,6 +404,8 @@ class TranscriptStreamMatcher:
         max_files_per_trigger: int | None = None,
         available_now: bool = True,
         processing_time: str | None = None,
+        rebind_checkpoint: bool = False,
+        check_disjoint: bool = True,
     ):
         """Launch the stream: parquet file source → foreachBatch sink.
 
@@ -315,7 +415,19 @@ class TranscriptStreamMatcher:
         long-running tailer. Any other source (Kafka, Iceberg CDC) works
         by building the reader yourself and handing
         :meth:`process_batch` to ``foreachBatch``.
+
+        ``rebind_checkpoint``: allow a NEW checkpoint dir against existing
+        state (see :meth:`_bind_checkpoint` — batch numbering continues,
+        nothing is dropped). The input files visible to the new checkpoint
+        are all reprocessed; ``check_disjoint`` (forwarded to the sink)
+        then rejects re-delivered conversations, so rebinding is for NEW
+        input paths, not for re-draining the old one.
         """
+        if rebind_checkpoint:
+            stream_file = os.path.join(self.state_dir, "_STREAM")
+            if os.path.exists(stream_file):
+                os.remove(stream_file)
+        offset = self._bind_checkpoint(checkpoint_dir)
         if schema is None:
             from record_matcher_spark.datagen import TRANSCRIPT_SCHEMA
 
@@ -326,8 +438,14 @@ class TranscriptStreamMatcher:
                 "maxFilesPerTrigger", int(max_files_per_trigger)
             )
         stream = reader.parquet(input_path)
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_batch(
+                batch_df, int(batch_id) + offset, check_disjoint=check_disjoint
+            )
+
         writer = (
-            stream.writeStream.foreachBatch(self.process_batch)
+            stream.writeStream.foreachBatch(_sink)
             .option("checkpointLocation", checkpoint_dir)
         )
         if available_now:

@@ -97,6 +97,66 @@ def test_cross_batch_merge_then_compact(spark, tmp_path):
     assert ("convZ", "convZ") in {tuple(r) for r in m.clusters().collect()}
 
 
+def test_partial_conversation_rejected(spark, tmp_path):
+    """A conv_id re-appearing in a later batch means its turns straddled a
+    micro-batch boundary — folding would commit a second conflicting
+    rollup, so the sink refuses loudly (check_disjoint)."""
+    import pytest
+
+    from record_matcher_spark.errors import InvalidConfigError
+
+    t = _closed_corpus(spark, n=6)
+    m = TranscriptStreamMatcher(spark, os.path.join(str(tmp_path), "state"))
+    m.process_batch(t, 0)
+    straddler = t.limit(2)  # turns of an already-ingested conversation
+    with pytest.raises(InvalidConfigError, match="whole within one"):
+        m.process_batch(straddler, 1)
+    st = m.state()
+    assert st is not None and st.n_batches == 1  # nothing was committed
+
+
+def test_new_checkpoint_refused_then_rebound(spark, tmp_path):
+    """Binding a fresh checkpoint to existing state would restart batch
+    numbering at 0 and the replay guard would drop everything — start()
+    refuses; rebind_checkpoint=True continues numbering instead."""
+    import pytest
+
+    from record_matcher_spark.errors import InvalidConfigError
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    src1 = os.path.join(str(tmp_path), "in1")
+    src2 = os.path.join(str(tmp_path), "in2")
+    spark.createDataFrame(
+        _turn_rows("convA", ["alpha aleph"]), schema
+    ).coalesce(1).write.parquet(src1)
+    spark.createDataFrame(
+        _turn_rows("convZ", ["zeta zayin"]), schema
+    ).coalesce(1).write.parquet(src2)
+
+    m = TranscriptStreamMatcher(
+        spark, os.path.join(str(tmp_path), "state"), cfg=_BRIDGE_CFG
+    )
+    q = m.start(src1, os.path.join(str(tmp_path), "ckpt1"))
+    q.awaitTermination(120)
+    st1 = m.state()
+    assert st1 is not None and st1.batch_id == 0
+
+    with pytest.raises(InvalidConfigError, match="bound to checkpoint"):
+        m.start(src2, os.path.join(str(tmp_path), "ckpt2"))
+
+    q2 = m.start(
+        src2, os.path.join(str(tmp_path), "ckpt2"), rebind_checkpoint=True
+    )
+    q2.awaitTermination(120)
+    st2 = m.state()
+    assert st2 is not None and st2.batch_id == 1  # numbering continued
+    got = {r["conv_id"] for r in m.clusters().collect()}
+    assert got == {"convA", "convZ"}
+
+
 def test_merge_chain_composition(spark, tmp_path):
     """Merges across successive batches compose transitively: batch 1
     merges C into B, batch 2 merges B into A — reading convC's label must
