@@ -637,6 +637,42 @@ def _q_transcript_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_merges(base.clusters, inc.merges).unionByName(inc.assignments)
 
 
+def _q_transcript_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-mode ER (streaming.TranscriptStreamMatcher): the corpus
+    arrives as three micro-batches sliced by variant index (v0, then v1,
+    then v2) and is folded through the log-structured state store — the
+    same foreachBatch sink a readStream drives (tests/test_streaming.py
+    covers the actual Structured Streaming query; here the sink is
+    invoked directly so batch order is deterministic for the oracle).
+
+    Label agreement with the closed form: every entity's v0 conversation
+    is in batch 0, so each cluster forms around 'c<k>_v0' first and later
+    variants ATTACH to that stable base label (cluster stability — the
+    incremental rep rule prefers the existing base label). Wide margins
+    => no merges, and the final assignment table equals the batch
+    pipeline's, so the oracle is the same one-SELECT closed form."""
+    import shutil
+    import tempfile
+
+    from record_matcher_spark.streaming import TranscriptStreamMatcher
+
+    _register_views(spark, sf_dir, ["customer"])
+    t = spark.sql(_TRANSCRIPTS_FROM_CUSTOMER_SPARK)
+    v = F.regexp_extract("conv_id", r"_v(\d+)$", 1).cast("long")
+    work = tempfile.mkdtemp(prefix="rm_stream_q_")
+    try:
+        m = TranscriptStreamMatcher(spark, os.path.join(work, "state"))
+        for batch_id in range(3):
+            m.process_batch(t.where(v == batch_id), batch_id)
+        m.compact()  # exercise snapshot generation; clusters invariant
+        # materialize before the state dir is removed (the returned frame
+        # must not depend on deleted files)
+        rows = m.clusters().collect()
+        return spark.createDataFrame(rows, "conv_id string, cluster_id string")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _dataops_oracles() -> dict[str, str]:
     from record_matcher_spark.operators import dedup, similarity
     from record_matcher_spark.operators import multimodal
@@ -713,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_clusters": _q_transcript_clusters,
         "transcript_clusters_corpus": _q_transcript_clusters_corpus,
         "transcript_increment": _q_transcript_increment,
+        "transcript_stream": _q_transcript_stream,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -745,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "transcript_clusters": _SQL_TRANSCRIPT_CLUSTERS,
         "transcript_increment": _SQL_TRANSCRIPT_CLUSTERS,
+        "transcript_stream": _SQL_TRANSCRIPT_CLUSTERS,
         **_dataops_oracles(),
         # transcript_clusters_corpus: intentionally no oracle (realistic
         # noisy corpus — clusters have no closed form); driver records the
