@@ -413,6 +413,16 @@ def _sql_embedding_near_dup() -> str:
     )
 
 
+def _q_embedding_srp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.similarity import srp_lsh_pairs
+
+    _register_views(spark, sf_dir, ["embeddings"])
+    return srp_lsh_pairs(
+        spark.table("embeddings"), "vec_id", "embedding",
+        threshold=0.35, max_bucket_size=400,
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from record_matcher_spark.operators.similarity import cosine_topk
 
@@ -689,6 +699,10 @@ def _dataops_oracles() -> dict[str, str]:
             "documents", "doc_id", "text", 3, 0.55, "lang"
         ),
         "dedup_embedding_cosine": _sql_embedding_near_dup(),
+        "dedup_embedding_srp": similarity.srp_lsh_pairs_oracle_sql(
+            "embeddings", "vec_id", "embedding",
+            threshold=0.35, max_bucket_size=400,
+        ),
         "ann_cosine_topk": similarity.cosine_topk_oracle_sql(
             "embeddings", _EMB_QUERIES_SQL, "vec_id", "embedding", 5
         ),
@@ -754,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding_cosine": _q_embedding_near_dup,
+        "dedup_embedding_srp": _q_embedding_srp_dedup,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_srp_lsh_topk": _q_srp_lsh_topk,
         "doc_language_id": _q_language_id,

@@ -302,3 +302,134 @@ SELECT q_id, n_id, cosine, rank FROM (
             JOIN cv ON cv.n_id = cand.n_id
 ) WHERE rank <= {k}
 """
+
+
+def srp_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_tables: int = 8,
+    planes_per_table: int = 3,
+    dim: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SRP-LSH buckets + exact cosine verify
+    -> [id_a, id_b, cosine] with cosine >= threshold and id_a < id_b.
+
+    The scale path for ``dedup.embedding_near_dup`` (whose default is the
+    brute-force cross join baseline): candidates come from a self
+    equi-join on (table, bucket) integer keys, so the n^2 product never
+    materializes — at 100 TB the corpus hash-partitions by bucket and
+    each bucket compares independently. ``num_tables`` independent hash
+    tables give recall 1-(1-(1-θ/π)^p)^L for neighbor angle θ (the 8x3
+    default ~0.99 at cosine 0.95); candidate dedup across tables is one
+    distinct on (id_a, id_b).
+
+    ``max_bucket_size`` drops over-populated (table, bucket) blocks
+    (hub/degenerate vectors) the way blocking.candidate_pairs caps hot
+    blocks: pairs lost in a dropped bucket can still surface through the
+    other L-1 tables, so the cap bounds fan-out with a graceful recall
+    cost rather than a quadratic blow-up. Approximate by construction;
+    recall vs the exact pair set is asserted in tests, and the generated
+    oracle replicates the same planes/buckets/cap so the driver check is
+    exact.
+    """
+    tables = _table_planes(num_tables, planes_per_table, dim)
+    nrm = F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col)))
+    buckets = F.array(
+        *[srp_bucket_expr(F.col(vec_col), planes) for planes in tables]
+    )
+    keyed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            nrm.alias("_n"),
+            F.posexplode(buckets).alias("tbl", "bucket"),
+        )
+        .where(F.col("_n") > 0)
+        .select("id", "tbl", "bucket")
+    )
+    if max_bucket_size:
+        over = (
+            keyed.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > max_bucket_size)
+            .select("tbl", "bucket")
+        )
+        keyed = keyed.join(over, ["tbl", "bucket"], "left_anti")
+    a = keyed.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    b = keyed.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        nrm.alias("na"),
+    ).where(F.col("na") > 0)
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        nrm.alias("nb"),
+    ).where(F.col("nb") > 0)
+    cos = TH.q6_expr(
+        dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def srp_lsh_pairs_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_tables: int = 8,
+    planes_per_table: int = 3,
+    dim: int = 64,
+    max_bucket_size: int | None = None,
+) -> str:
+    """DuckDB twin of ``srp_lsh_pairs`` — same planes, buckets, cap."""
+    tables = _table_planes(num_tables, planes_per_table, dim)
+    nrm = f"sqrt({dot_sql(vec_col, vec_col)})"
+    keyed = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {t} AS tbl, {srp_bucket_sql('v0', planes)} AS bucket "
+        "FROM base"
+        for t, planes in enumerate(tables)
+    )
+    cap_cte = (
+        f""", keyed AS (
+  SELECT k.* FROM keyed0 k
+  JOIN (SELECT tbl, bucket, count(*) AS _c
+        FROM keyed0 GROUP BY tbl, bucket) s
+    ON k.tbl = s.tbl AND k.bucket = s.bucket
+  WHERE s._c <= {max_bucket_size}
+)"""
+        if max_bucket_size
+        else ", keyed AS (SELECT * FROM keyed0)"
+    )
+    dot = dot_sql("va.v0", "vb.v0")
+    q6cos = TH.q6_sql(f"{dot} / (va.n0 * vb.n0)")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col} AS v0, {nrm} AS n0
+  FROM {table} WHERE {nrm} > 0
+), keyed0 AS (
+  {keyed}
+){cap_cte}, cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT cand.id_a, cand.id_b, {q6cos} AS cosine
+FROM cand JOIN base va ON va.id = cand.id_a
+          JOIN base vb ON vb.id = cand.id_b
+WHERE {q6cos} >= {threshold}
+"""

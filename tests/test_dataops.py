@@ -249,6 +249,36 @@ def test_srp_lsh_topk_and_recall(embs, duck):
     assert agree >= 0.5, f"ANN top-1 agreement too low: {agree}"
 
 
+def test_srp_lsh_pairs_parity_and_recall(embs, duck):
+    got = similarity.srp_lsh_pairs(
+        embs, "vec_id", "embedding", threshold=0.35, max_bucket_size=200
+    )
+    want = duck.sql(
+        similarity.srp_lsh_pairs_oracle_sql(
+            "embeddings",
+            "vec_id",
+            "embedding",
+            threshold=0.35,
+            max_bucket_size=200,
+        )
+    ).df()
+    assert_frames_equal(got, want, ["id_a", "id_b"])
+    # Recall vs the exact (brute-force) pair set: multi-table SRP on the
+    # clustered test vectors should surface most true pairs.
+    exact = (
+        dedup.embedding_near_dup(embs, "vec_id", "embedding", threshold=0.35)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    ann = got.select("id_a", "id_b").toPandas()
+    if len(exact):
+        key = lambda d: set(map(tuple, d.values))  # noqa: E731
+        recall = len(key(ann) & key(exact)) / len(key(exact))
+        assert recall >= 0.6, f"SRP pair recall too low: {recall}"
+        # every surviving pair is exact-verified, so precision is 1
+        assert key(ann) <= key(exact)
+
+
 def test_language_id(docs, duck):
     got = text_ops.language_id(docs, "doc_id", "text")
     want = duck.sql(
