@@ -365,6 +365,18 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    _register_views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    return near_dup_clusters(docs, "doc_id", pairs)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from record_matcher_spark.operators.dedup import simhash_pairs
 
@@ -692,6 +704,13 @@ def _dataops_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_oracle_sql(
             "documents", "doc_id", "text", threshold=0.3
         ),
+        "dedup_minhash_clusters": dedup.near_dup_clusters_oracle_sql(
+            "documents",
+            "doc_id",
+            dedup.minhash_lsh_pairs_oracle_sql(
+                "documents", "doc_id", "text", threshold=0.3
+            ),
+        ),
         "dedup_simhash": dedup.simhash_pairs_oracle_sql(
             "documents", "doc_id", "text", 3
         ),
@@ -765,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_increment": _q_transcript_increment,
         "transcript_stream": _q_transcript_stream,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_minhash_clusters": _q_minhash_clusters,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding_cosine": _q_embedding_near_dup,

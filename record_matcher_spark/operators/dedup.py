@@ -482,3 +482,75 @@ def embedding_near_dup(
         .select("id_a", "id_b", TH.q6_expr(cos).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup pairs -> dedup clusters (canonical-doc selection)
+# --------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Fold a near-duplicate pair set into dedup clusters:
+    -> [id, cluster_id, is_canonical] — one row per input document.
+
+    ``cluster_id`` is the minimum document id of the pair-graph connected
+    component (the same large-star/small-star CC the ER pipeline uses, so
+    lineage per iteration is O(1) and node ids stay JVM-side longs);
+    documents in no pair are singleton clusters of themselves. The
+    canonical representative of each cluster is its minimum id
+    (``is_canonical`` = 1) — ``WHERE is_canonical = 1`` is the keep-list
+    of a dedup pass, and the non-canonical rows are the drop-list.
+
+    Scale shape: the only per-document work is one left join attaching
+    labels (singletons never enter the CC shuffle); the CC itself runs on
+    the pair set, which blocking/LSH already bounded.
+    """
+    from record_matcher_spark.operators.cluster import connected_components
+
+    labels = connected_components(
+        pairs.select(pair_a, pair_b), pair_a, pair_b
+    ).withColumnRenamed("node", "id")
+    ids = df.select(F.col(id_col).alias("id"))
+    out = ids.join(labels, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("cluster_id")
+    )
+    return out.withColumn(
+        "is_canonical",
+        (F.col("id") == F.col("cluster_id")).cast("int"),
+    )
+
+
+def near_dup_clusters_oracle_sql(
+    table: str,
+    id_col: str,
+    pairs_sql: str,
+) -> str:
+    """DuckDB twin of ``near_dup_clusters``: recursive-CTE transitive
+    closure over the (exactly replicated) pair SQL, min-id label. The
+    closure is O(sum of cluster sizes squared) — an oracle-only device
+    for driver-scale graphs, not a scale path."""
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b AS u, id_a AS v FROM p
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), lbl AS (
+  SELECT u, least(u, min(v)) AS cid FROM reach GROUP BY u
+)
+SELECT d.{id_col} AS id,
+       CAST(coalesce(l.cid, d.{id_col}) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN coalesce(l.cid, d.{id_col}) = d.{id_col}
+            THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM {table} d LEFT JOIN lbl l ON l.u = d.{id_col}
+"""

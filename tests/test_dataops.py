@@ -279,6 +279,32 @@ def test_srp_lsh_pairs_parity_and_recall(embs, duck):
         assert key(ann) <= key(exact)
 
 
+def test_near_dup_clusters_parity(docs, duck):
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    got = dedup.near_dup_clusters(docs, "doc_id", pairs)
+    want = duck.sql(
+        dedup.near_dup_clusters_oracle_sql(
+            "documents",
+            "doc_id",
+            dedup.minhash_lsh_pairs_oracle_sql(
+                "documents", "doc_id", "text", threshold=0.3
+            ),
+        )
+    ).df()
+    assert_frames_equal(got, want, ["id"])
+    gp = got.toPandas()
+    # every document labeled exactly once; canonical = min id per cluster
+    assert len(gp) == docs.count()
+    mins = gp.groupby("cluster_id")["id"].min()
+    assert (mins.index == mins.values).all()
+    canon = gp[gp["is_canonical"] == 1]
+    assert set(canon["id"]) == set(gp["cluster_id"].unique())
+    # paired docs share a cluster
+    pp = pairs.select("id_a", "id_b").toPandas()
+    lbl = dict(zip(gp["id"], gp["cluster_id"]))
+    assert all(lbl[a] == lbl[b] for a, b in pp.values)
+
+
 def test_language_id(docs, duck):
     got = text_ops.language_id(docs, "doc_id", "text")
     want = duck.sql(
