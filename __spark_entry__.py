@@ -451,6 +451,14 @@ def _q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_topk(e, e.where("vec_id < 10"), "vec_id", "embedding", 5)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from record_matcher_spark.operators.similarity import ivf_topk
+
+    _register_views(spark, sf_dir, ["embeddings"])
+    e = spark.table("embeddings")
+    return ivf_topk(e, e.where("vec_id < 10"), "vec_id", "embedding", 5)
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from record_matcher_spark.operators.text import language_id
 
@@ -728,6 +736,9 @@ def _dataops_oracles() -> dict[str, str]:
         "ann_srp_lsh_topk": similarity.srp_lsh_topk_oracle_sql(
             "embeddings", _EMB_QUERIES_SQL, "vec_id", "embedding", 5
         ),
+        "ann_ivf_topk": similarity.ivf_topk_oracle_sql(
+            "embeddings", _EMB_QUERIES_SQL, "vec_id", "embedding", 5
+        ),
         "doc_language_id": text_ops.language_id_oracle_sql(
             "documents", "doc_id", "text"
         ),
@@ -791,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_srp": _q_embedding_srp_dedup,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_srp_lsh_topk": _q_srp_lsh_topk,
+        "ann_ivf_topk": _q_ivf_topk,
         "doc_language_id": _q_language_id,
         "doc_quality_score": _q_quality_score,
         "doc_fingerprints": _q_fingerprints,

@@ -433,3 +433,150 @@ FROM cand JOIN base va ON va.id = cand.id_a
           JOIN base vb ON vb.id = cand.id_b
 WHERE {q6cos} >= {threshold}
 """
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_id: str | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k -> [q_id, n_id, cosine, rank].
+
+    The coarse-quantizer scale path: every corpus vector is assigned to
+    its nearest centroid once (the inverted lists), and a query scans
+    only its ``n_probe`` nearest lists — expected work per query is
+    n_probe/n_centroids of the corpus instead of all of it. Centroids
+    here are the ``n_centroids`` corpus vectors with the smallest ids:
+    deterministic seed centroids (no k-means iterations), so the DuckDB
+    oracle reproduces the identical lists and the driver check is exact.
+    At 100 TB the same shape holds with trained centroids: the centroid
+    set broadcasts (it is tiny), assignment is one map-side pass
+    (crossJoin with a broadcast side + per-row argmax — no shuffle), the
+    lists are an equi-join key, and only the probed lists rerank.
+
+    Ties break deterministically everywhere: centroid choice by
+    (cosine desc, centroid id asc), final top-k by (cosine desc, n_id
+    asc). Zero-norm vectors are excluded on both sides, as in
+    ``cosine_topk``.
+    """
+    query_id = query_id or id_col
+    nrm = lambda v: F.sqrt(dot_expr(v, v))  # noqa: E731
+
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cv0"),
+            nrm(F.col(vec_col)).alias("cn0"),
+        )
+        .where(F.col("cn0") > 0)
+        .orderBy("cent_id")
+        .limit(n_centroids)
+    )
+
+    def assign(df: DataFrame, idc: str, out_id: str, top: int) -> DataFrame:
+        base = df.select(
+            F.col(idc).alias(out_id),
+            F.col(vec_col).alias("_v"),
+            nrm(F.col(vec_col)).alias("_n"),
+        ).where(F.col("_n") > 0)
+        sim = TH.q6_expr(
+            dot_expr(F.col("_v"), F.col("cv0")) / (F.col("_n") * F.col("cn0"))
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.desc("_sim"), F.asc("cent_id")
+        )
+        return (
+            base.crossJoin(F.broadcast(cents))
+            .select(out_id, "cent_id", sim.alias("_sim"))
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= top)
+            .select(out_id, "cent_id")
+        )
+
+    lists = assign(corpus, id_col, "n_id", 1)
+    probes = assign(queries, query_id, "q_id", n_probe)
+    cand = probes.join(lists, "cent_id").where(
+        F.col("q_id") != F.col("n_id")
+    ).select("q_id", "n_id")
+    qv = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        nrm(F.col(vec_col)).alias("qn"),
+    ).where(F.col("qn") > 0)
+    cv = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("cv"),
+        nrm(F.col(vec_col)).alias("cn"),
+    ).where(F.col("cn") > 0)
+    cos = TH.q6_expr(
+        dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "n_id")
+        .select("q_id", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_oracle_sql(
+    corpus_table: str,
+    queries_sql: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_id: str | None = None,
+) -> str:
+    """DuckDB twin of ``ivf_topk`` — same seed centroids, lists, probes."""
+    query_id = query_id or id_col
+    nrm = f"sqrt({dot_sql(vec_col, vec_col)})"
+    sim = TH.q6_sql(f"{dot_sql('b._v', 'c.cv0')} / (b._n * c.cn0)")
+    dot = dot_sql("qv.qv", "cv.cv")
+    q6cos = TH.q6_sql(f"{dot} / (qv.qn * cv.cn)")
+    return f"""
+WITH cents AS (
+  SELECT {id_col} AS cent_id, {vec_col} AS cv0, {nrm} AS cn0
+  FROM {corpus_table} WHERE {nrm} > 0
+  ORDER BY cent_id LIMIT {n_centroids}
+), cbase AS (
+  SELECT {id_col} AS n_id, {vec_col} AS _v, {nrm} AS _n
+  FROM {corpus_table} WHERE {nrm} > 0
+), qbase AS (
+  SELECT {query_id} AS q_id, {vec_col} AS _v, {nrm} AS _n
+  FROM ({queries_sql}) WHERE {nrm} > 0
+), lists AS (
+  SELECT n_id, cent_id FROM (
+    SELECT b.n_id, c.cent_id,
+      row_number() OVER (PARTITION BY b.n_id
+        ORDER BY {sim} DESC, c.cent_id ASC) AS _r
+    FROM cbase b, cents c
+  ) WHERE _r = 1
+), probes AS (
+  SELECT q_id, cent_id FROM (
+    SELECT b.q_id, c.cent_id,
+      row_number() OVER (PARTITION BY b.q_id
+        ORDER BY {sim} DESC, c.cent_id ASC) AS _r
+    FROM qbase b, cents c
+  ) WHERE _r <= {n_probe}
+), cand AS (
+  SELECT p.q_id, l.n_id FROM probes p JOIN lists l USING (cent_id)
+  WHERE p.q_id <> l.n_id
+), qv AS (SELECT q_id, _v AS qv, _n AS qn FROM qbase),
+cv AS (SELECT n_id, _v AS cv, _n AS cn FROM cbase)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT cand.q_id, cand.n_id, {q6cos} AS cosine,
+    row_number() OVER (PARTITION BY cand.q_id
+      ORDER BY {q6cos} DESC, cand.n_id ASC) AS rank
+  FROM cand JOIN qv ON qv.q_id = cand.q_id
+            JOIN cv ON cv.n_id = cand.n_id
+) WHERE rank <= {k}
+"""

@@ -279,6 +279,34 @@ def test_srp_lsh_pairs_parity_and_recall(embs, duck):
         assert key(ann) <= key(exact)
 
 
+def test_ivf_topk_parity_and_recall(embs, duck):
+    got = similarity.ivf_topk(
+        embs, embs.where("vec_id < 10"), "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=4,
+    )
+    want = duck.sql(
+        similarity.ivf_topk_oracle_sql(
+            "embeddings",
+            "SELECT * FROM embeddings WHERE vec_id < 10",
+            "vec_id",
+            "embedding",
+            k=5, n_centroids=16, n_probe=4,
+        )
+    ).df()
+    assert_frames_equal(got, want, ["q_id", "rank"])
+    # probing 4/16 lists on clustered vectors should still find the exact
+    # top-1 for most queries
+    exact = similarity.cosine_topk(
+        embs, embs.where("vec_id < 10"), "vec_id", "embedding", k=1
+    ).toPandas()
+    ivf1 = got.where("rank = 1").toPandas()[["q_id", "n_id"]]
+    merged = exact[["q_id", "n_id"]].merge(
+        ivf1, on="q_id", suffixes=("_exact", "_ivf")
+    )
+    agree = (merged["n_id_exact"] == merged["n_id_ivf"]).mean()
+    assert agree >= 0.5, f"IVF top-1 agreement too low: {agree}"
+
+
 def test_near_dup_clusters_parity(docs, duck):
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
     got = dedup.near_dup_clusters(docs, "doc_id", pairs)
