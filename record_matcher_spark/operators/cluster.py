@@ -20,8 +20,16 @@ hash, by carrying ids as (sortable) strings when requested).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+#: Edge-count gate below which CC is solved in ONE executor task (the
+#: "filtering to a single machine" endgame the MapReduce-CC literature
+#: pairs with star rounds once the graph is small). 4M edges ≈ 64 MB as
+#: long pairs / a few hundred MB as strings — comfortable for one task.
+LOCAL_CC_MAX_EDGES = 4_000_000
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -37,6 +45,91 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .select(F.col("v").alias("u"), F.col("mn").alias("v"))
         .distinct()
     )
+
+
+def _cc_label_kernel(a: np.ndarray, b: np.ndarray, m: int) -> np.ndarray:
+    """Vectorized min-label propagation with pointer jumping.
+
+    ``a``/``b``: edge endpoints as int codes in [0, m). Returns per-node
+    labels where ``label[v]`` = the smallest code in v's component.
+
+    Each round: (1) per-edge candidate label = min of the endpoints'
+    labels, (2) per-node min over incident edges via one ``reduceat``
+    over a precomputed incidence ordering (no per-edge Python, no slow
+    ``ufunc.at``), (3) one pointer-jump ``label[label]`` halves chain
+    depth, so rounds are O(log diameter). Labels are monotone
+    non-increasing and bounded by the component minimum, so the fixpoint
+    is exact (every edge then has equal endpoint labels and the label
+    map is idempotent).
+    """
+    label = np.arange(m, dtype=np.int64)
+    if a.size == 0:
+        return label
+    ends = np.concatenate([a, b])
+    order = np.argsort(ends, kind="stable")
+    sorted_nodes = ends[order]
+    starts = np.flatnonzero(
+        np.r_[True, sorted_nodes[1:] != sorted_nodes[:-1]]
+    )
+    run_nodes = sorted_nodes[starts]
+    while True:
+        mn = np.minimum(label[a], label[b])
+        per_node = np.minimum.reduceat(
+            np.concatenate([mn, mn])[order], starts
+        )
+        new = label.copy()
+        new[run_nodes] = np.minimum(new[run_nodes], per_node)
+        new = new[new]
+        if np.array_equal(new, label):
+            return label
+        label = new
+
+
+def _local_cc(ec: DataFrame) -> DataFrame:
+    """CC on one executor task: repartition(1) + a numpy kernel batch.
+
+    ``ec``: DataFrame[u, v], null-free. Ids of any orderable type; the
+    component label is the MIN ORIGINAL id (ids are factorized hash-wise,
+    then the representative is restored with a C-speed groupby-min over
+    original values — no sort of the full id set). Self-loop endpoints
+    count as nodes (own component), like the distributed path's node set.
+    """
+    id_type = ec.schema["u"].dataType
+    out_schema = StructType(
+        [
+            StructField("node", id_type, True),
+            StructField("component", id_type, True),
+        ]
+    )
+
+    def solve(batches):
+        import pandas as pd
+
+        a_parts: list = []
+        b_parts: list = []
+        for pdf in batches:
+            a_parts.append(pdf["u"].to_numpy())
+            b_parts.append(pdf["v"].to_numpy())
+        if not a_parts:
+            return
+        av = np.concatenate(a_parts)
+        bv = np.concatenate(b_parts)
+        codes, uniques = pd.factorize(np.concatenate([av, bv]))
+        m = len(uniques)
+        a = codes[: len(av)].astype(np.int64)
+        b = codes[len(av):].astype(np.int64)
+        keep = a != b
+        label = _cc_label_kernel(a[keep], b[keep], m)
+        nodes = pd.Series(np.asarray(uniques))
+        comp_min = nodes.groupby(label).min()
+        yield pd.DataFrame(
+            {
+                "node": nodes.to_numpy(),
+                "component": comp_min.reindex(label).to_numpy(),
+            }
+        )
+
+    return ec.repartition(1).mapInPandas(solve, out_schema)
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -58,23 +151,44 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 25,
     encode_ids: bool | None = None,
+    local_max_edges: int | None = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """→ DataFrame[node, component] with component = min node id (by the
-    natural ordering of the id column's type).
+    natural ordering of the id column's type). Edges with a NULL endpoint
+    are ignored entirely (a NULL id is not a node).
 
-    Convergence: iterate large-star/small-star until the canonical edge
-    set's (count, xxhash64-sum) signature is stable, then emit each node's
-    component. Each iteration is localCheckpoint-ed: lineage stays O(1)
-    instead of O(iterations).
+    Two physical strategies, size-gated like AQE's join choices:
 
-    ``encode_ids`` (default: auto — on for string ids): dictionary-encode
-    node ids to order-preserving dense longs (operators.ids) before
-    iterating and decode after. Iterating on 8-byte keys instead of
-    strings cuts shuffle bytes ~10x and, measured on this pipeline,
-    removes a 4x CPU-inflation at 32 threads caused by string-pair
-    allocation churn. Order preservation keeps ``component = min id``
-    semantics identical.
+    - ``count(edges) <= local_max_edges``: ONE executor task solves the
+      whole graph with a vectorized numpy kernel (min-label propagation +
+      pointer jumping, O(E log d) vectorized ops) via ``mapInPandas`` —
+      below this size the star rounds' per-round shuffle/stage overhead
+      dominates wall-clock (measured ~0.9 s/round at 10^4 edges on
+      local[32], all fixed cost), while one Arrow batch solves it in
+      milliseconds. Still an executor task, NOT a driver collect. The
+      gate costs one count job over the edge projection — cheap when the
+      upstream (scored pairs) is persisted, as in pipeline/match stages;
+      pass ``local_max_edges=0`` to skip both the count and the local
+      path (e.g. when edges is an expensive unmaterialized DAG).
+    - otherwise: alternating large-star/small-star rounds until the
+      canonical edge set's (count, xxhash64-xor) signature is stable,
+      then emit each node's component. Each round is localCheckpoint-ed:
+      lineage stays O(1) instead of O(rounds). This is the 10^12-turn
+      path — a corpus-scale match graph exceeds any single-task gate.
+
+    ``encode_ids`` (default: auto — on for string ids): hash-encode node
+    ids to longs before iterating and decode after (distributed path
+    only; the local kernel factorizes ids itself). Iterating on 8-byte
+    keys instead of strings cuts shuffle bytes ~10x and, measured on this
+    pipeline, removes a 4x CPU-inflation at 32 threads caused by
+    string-pair allocation churn.
     """
+    if local_max_edges:
+        ec = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        if ec.count() <= local_max_edges:
+            return _local_cc(ec)
     if encode_ids is None:
         encode_ids = dict(edges.dtypes)[src] == "string"
     if encode_ids:
@@ -88,16 +202,22 @@ def connected_components(
         # clusters): ~n^2/2^65 — negligible below ~10^8 nodes; above
         # that, partition the CC by a corpus shard key or use
         # operators.ids.dense_ids explicitly.
-        enc = edges.select(
+        # null endpoints dropped BEFORE hashing: xxhash64(NULL) is a real
+        # long (null input hashes to the seed), which would fabricate a node
+        nonnull = edges.where(
+            F.col(src).isNotNull() & F.col(dst).isNotNull()
+        )
+        enc = nonnull.select(
             F.xxhash64(F.col(src)).alias("src"),
             F.xxhash64(F.col(dst)).alias("dst"),
         )
         labeled = connected_components(
-            enc, "src", "dst", max_iterations, encode_ids=False
+            enc, "src", "dst", max_iterations, encode_ids=False,
+            local_max_edges=0,
         )
         mapping = (
-            edges.select(F.col(src).alias("_orig"))
-            .union(edges.select(F.col(dst).alias("_orig")))
+            nonnull.select(F.col(src).alias("_orig"))
+            .union(nonnull.select(F.col(dst).alias("_orig")))
             .distinct()
             .select("_orig", F.xxhash64(F.col("_orig")).alias("node"))
         )
@@ -110,12 +230,13 @@ def connected_components(
             F.col("_cluster").alias("component"),
         )
 
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+    nn = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    e = nn.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src) != F.col(dst)
     )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        nn.select(F.col(src).alias("node"))
+        .union(nn.select(F.col(dst).alias("node")))
         .distinct()
     )
 

@@ -89,6 +89,44 @@ def test_connected_components_vs_union_find(spark):
         assert got == exp, f"trial {trial}"
 
 
+def test_connected_components_local_equals_distributed(spark):
+    """The size-gated single-task kernel and the star-round path label
+    identically (incl. self-loops, isolated-by-self-loop nodes, and a
+    long chain that stresses the kernel's pointer jumping)."""
+    rng = random.Random(41)
+    nodes = [f"n{i:03d}" for i in range(80)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    # a 40-node chain: diameter >> 1 forces several kernel rounds
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(40)]
+    edges += chain + [("loop", "loop")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    local = {
+        r["node"]: r["component"]
+        for r in connected_components(edf, "src", "dst").collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edf, "src", "dst", local_max_edges=0
+        ).collect()
+    }
+    assert local == dist
+    assert local["loop"] == "loop"  # self-loop node = own component
+    assert {local[f"c{i:03d}"] for i in range(41)} == {"c000"}
+
+
+def test_connected_components_null_endpoints_ignored(spark):
+    edges = [("a", "b"), (None, "b"), ("c", None)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    for kw in ({}, {"local_max_edges": 0}):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edf, "src", "dst", **kw).collect()
+        }
+        # edges with a NULL endpoint vanish entirely (c had only one)
+        assert got == {"a": "a", "b": "a"}
+
+
 def test_blocking_recall_and_determinism(spark):
     t, truth = _corpus(spark)
     conv = rollup_conversations(t)
