@@ -538,6 +538,85 @@ GROUP BY user_id
 """
 
 
+_SESSION_GAP_S = 12 * 3600  # sessions: same-user events < 12h apart
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE session_window
+    (operators.sessions.session_stats). The oracle derives the identical
+    sessions independently — lag + running-sum windows on integer epoch
+    microseconds — so the native gap-merge semantics are cross-checked
+    against a from-first-principles formulation."""
+    from record_matcher_spark.operators.sessions import session_stats
+
+    _register_views(spark, sf_dir, ["events"])
+    return session_stats(
+        spark.table("events"), "user_id", "ts", gap_seconds=_SESSION_GAP_S
+    )
+
+
+_SQL_EVENT_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_S * 1000000}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) - 1 AS session_idx
+  FROM e
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_epoch,
+       count(DISTINCT event_type) AS n_event_types,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents_sum
+FROM s
+GROUP BY user_id, session_idx
+"""
+
+
+def _q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session labels (operators.sessions.sessionize — lag +
+    running count over a per-user window)."""
+    from record_matcher_spark.operators.sessions import sessionize
+
+    _register_views(spark, sf_dir, ["events"])
+    out = sessionize(
+        spark.table("events"), "user_id", "ts", gap_seconds=_SESSION_GAP_S
+    )
+    return out.select("event_id", "user_id", "session_idx", "session_id")
+
+
+_SQL_EVENT_SESSIONIZE = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_S * 1000000}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT event_id, user_id,
+    CAST(sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) - 1 AS BIGINT) AS session_idx
+  FROM e
+)
+SELECT event_id, user_id, session_idx,
+       CAST(user_id AS VARCHAR) || '#' || CAST(session_idx AS VARCHAR)
+         AS session_id
+FROM s
+"""
+
+
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive clustering (large-star/small-star CC) on per-customer
     order chains: consecutive orders of one customer form path edges; CC
@@ -789,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "doc_token_stats": _q_token_stats,
         "session_rollup": _q_session_rollup,
+        "event_sessions": _q_event_sessions,
+        "event_sessionize": _q_event_sessionize,
         "connected_components": _q_connected_components,
         "transcript_clusters": _q_transcript_clusters,
         "transcript_clusters_corpus": _q_transcript_clusters_corpus,
@@ -826,6 +907,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "doc_token_stats": _SQL_TOKEN_STATS,
         "session_rollup": _SQL_SESSION_ROLLUP,
+        "event_sessions": _SQL_EVENT_SESSIONS,
+        "event_sessionize": _SQL_EVENT_SESSIONIZE,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "transcript_clusters": _SQL_TRANSCRIPT_CLUSTERS,
         "transcript_increment": _SQL_TRANSCRIPT_CLUSTERS,
