@@ -1,0 +1,69 @@
+"""Physical-plan audits: the optimizations the 100 TB design relies on
+must actually appear in the executed plan — filter pushdown and column
+pruning at the parquet scan, hash (never cartesian) joins for blocked
+scoring, and the single-shuffle session aggregation. Pinned as tests so a
+refactor that silently de-optimizes a plan fails CI, not a cluster run."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("RM_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark):
+    """token_stats over a lang-filtered documents scan: the parquet scan
+    must read ONLY (doc_id, text, lang) and receive the lang predicate."""
+    from record_matcher_spark.operators.text import token_stats
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    out = token_stats(docs.where(F.col("lang") == "en"), "doc_id", "text")
+    plan = _plan(out)
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "PushedFilters" in scan and "EqualTo(lang,en)" in scan, scan
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "text" in read_schema and "doc_id" in read_schema
+    # untouched wide columns must NOT be read
+    for col in docs.columns:
+        if col not in ("doc_id", "text", "lang"):
+            assert col not in read_schema, (col, read_schema)
+
+
+def test_blocked_scoring_uses_hash_join(spark):
+    """score_pairs with blocking keys: equi-join (broadcast or shuffled
+    hash / sort-merge), never a cartesian product."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["match_fuzzy"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert any(j in plan for j in ("HashJoin", "SortMergeJoin")), plan
+
+
+def test_session_stats_single_shuffle_no_window(spark):
+    """session_stats = native session-window aggregation: exactly one hash
+    exchange on the user key and no window-function operator."""
+    from record_matcher_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    plan = _plan(session_stats(ev, "user_id", "ts"))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Window" not in plan
+
+
+def test_exact_dedup_is_one_aggregate_no_join(spark):
+    """exact_dedup must stay a pure hash aggregate — no pair join path."""
+    from record_matcher_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(exact_dedup(docs, "doc_id", ["text"]))
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or (
+        "SortAggregate" in plan
+    ), plan
