@@ -33,8 +33,15 @@ def main() -> None:
     from record_matcher_spark.pipeline import default_transcript_match_config
     from record_matcher_spark.session import get_spark
 
-    extra = {"spark.ui.enabled": "false", "spark.driver.memory": "16g"}
-    if os.environ.get("RM_AQE") == "0":
+    # Mirror bench/scaling_worker.py's measurement environment so stage
+    # times decompose the scaling run: tmpfs shuffle scratch, AQE off for
+    # the microbench, one untimed small-corpus pipeline to JIT-compile the
+    # codegen classes before any timed stage.
+    extra = {"spark.ui.enabled": "false", "spark.driver.memory": "48g"}
+    local_dir = os.environ.get("RM_LOCAL_DIR", "/dev/shm/rm-spark-local")
+    if local_dir:
+        extra["spark.local.dir"] = local_dir
+    if os.environ.get("RM_AQE", "0") == "0":
         extra["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
         app_name="rm-profile",
@@ -43,6 +50,18 @@ def main() -> None:
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    from record_matcher_spark.pipeline import match_transcripts
+
+    warm_df, _ = generate_transcripts(
+        spark, min(n_entities, 20000), seed=43, num_partitions=32
+    )
+    warm_df = warm_df.cache()
+    warm_df.count()
+    warm_res = match_transcripts(warm_df, edge_mode="threshold")
+    warm_res.clusters.select("cluster_id").distinct().count()
+    warm_res.unpersist()
+    warm_df.unpersist()
 
     t_df, truth = generate_transcripts(spark, n_entities, seed=42,
                                        num_partitions=32)

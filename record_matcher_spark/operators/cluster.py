@@ -85,14 +85,51 @@ def _cc_label_kernel(a: np.ndarray, b: np.ndarray, m: int) -> np.ndarray:
         label = new
 
 
+def _min_id_per_component(uniques: np.ndarray, label: np.ndarray) -> np.ndarray:
+    """Per-node representative = MIN ORIGINAL id in the node's component.
+
+    ``uniques``: node ids (any orderable dtype), ``label``: per-node
+    component labels (min-code ints from :func:`_cc_label_kernel`).
+    Entirely sort + ``reduceat`` based: a pandas string
+    ``groupby(label).min()`` here measured 12s single-task at 2.4M nodes
+    (the dominant serial cost of the whole local-CC path); the rank
+    vector + per-component ``minimum.reduceat`` below does the same in
+    <1s. Object (string) ids are compared via numpy's fixed-width
+    unicode dtype when it round-trips (code-point order == Python str
+    order); ids with embedded NULs fall back to object argsort.
+    """
+    u = np.asarray(uniques)
+    if len(u) == 0:
+        return u
+    sort_key = u
+    if u.dtype == object:
+        uu = u.astype("U")
+        # numpy U-storage truncates at embedded NULs; verify round-trip
+        # lengths before trusting its ordering
+        lens = np.fromiter((len(s) for s in u), dtype=np.int64, count=len(u))
+        if np.array_equal(np.char.str_len(uu), lens):
+            sort_key = uu
+    order = np.argsort(sort_key, kind="stable")
+    rank = np.empty(len(u), dtype=np.int64)
+    rank[order] = np.arange(len(u), dtype=np.int64)
+    by_label = np.argsort(label, kind="stable")
+    lab_sorted = label[by_label]
+    starts = np.flatnonzero(np.r_[True, lab_sorted[1:] != lab_sorted[:-1]])
+    min_rank = np.minimum.reduceat(rank[by_label], starts)
+    lut = np.empty(len(u), dtype=np.int64)
+    lut[lab_sorted[starts]] = min_rank
+    return u[order[lut[label]]]
+
+
 def _local_cc(ec: DataFrame) -> DataFrame:
     """CC on one executor task: repartition(1) + a numpy kernel batch.
 
     ``ec``: DataFrame[u, v], null-free. Ids of any orderable type; the
     component label is the MIN ORIGINAL id (ids are factorized hash-wise,
-    then the representative is restored with a C-speed groupby-min over
-    original values — no sort of the full id set). Self-loop endpoints
-    count as nodes (own component), like the distributed path's node set.
+    then the representative is restored rank-wise, see
+    :func:`_min_id_per_component` — no per-group Python). Self-loop
+    endpoints count as nodes (own component), like the distributed
+    path's node set.
     """
     id_type = ec.schema["u"].dataType
     out_schema = StructType(
@@ -120,12 +157,11 @@ def _local_cc(ec: DataFrame) -> DataFrame:
         b = codes[len(av):].astype(np.int64)
         keep = a != b
         label = _cc_label_kernel(a[keep], b[keep], m)
-        nodes = pd.Series(np.asarray(uniques))
-        comp_min = nodes.groupby(label).min()
+        nodes = np.asarray(uniques)
         yield pd.DataFrame(
             {
-                "node": nodes.to_numpy(),
-                "component": comp_min.reindex(label).to_numpy(),
+                "node": nodes,
+                "component": _min_id_per_component(nodes, label),
             }
         )
 

@@ -115,6 +115,31 @@ def test_connected_components_local_equals_distributed(spark):
     assert {local[f"c{i:03d}"] for i in range(41)} == {"c000"}
 
 
+def test_min_id_per_component_kernel():
+    """Sort/reduceat representative restore == per-group Python min,
+    for string ids (U-dtype fast path), ids with embedded NULs (object
+    fallback — numpy U storage truncates at NUL, so 'a\\x00z' must still
+    order as Python compares it), and integer ids."""
+    import numpy as np
+
+    from record_matcher_spark.operators.cluster import _min_id_per_component
+
+    cases = [
+        np.array(["b", "a", "c", "z", "m"], dtype=object),
+        np.array(["a\x00z", "a", "a\x00a", "b"], dtype=object),
+        np.array([7, 3, 9, 1, 5], dtype=np.int64),
+    ]
+    rng = random.Random(5)
+    for u in cases:
+        label = np.array([rng.randrange(2) for _ in u], dtype=np.int64)
+        got = _min_id_per_component(u, label)
+        exp = [min(u[j] for j in range(len(u)) if label[j] == label[i])
+               for i in range(len(u))]
+        assert list(got) == exp, u
+    assert len(_min_id_per_component(np.array([], dtype=object),
+                                     np.array([], dtype=np.int64))) == 0
+
+
 def test_connected_components_null_endpoints_ignored(spark):
     edges = [("a", "b"), (None, "b"), ("c", None)]
     edf = spark.createDataFrame(edges, "src string, dst string")
