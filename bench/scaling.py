@@ -40,8 +40,16 @@ def run(cores: int, n_entities: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench", "scaling_worker.py"),
          str(cores), str(n_entities)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        # surface the worker's stderr — a swallowed CalledProcessError cost
+        # a full round-2 measurement run
+        sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-8000:] + "\n")
+        raise RuntimeError(
+            f"scaling_worker cores={cores} n={n_entities} exited "
+            f"{out.returncode} (stderr above)"
+        )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
