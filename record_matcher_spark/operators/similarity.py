@@ -435,6 +435,143 @@ WHERE {q6cos} >= {threshold}
 """
 
 
+def _seq_norm(vec: list[float]) -> float:
+    """Index-ascending fold + sqrt — the Python twin of
+    ``sqrt(dot_expr(v, v))`` / ``sqrt(dot_sql(v, v))`` (same IEEE op
+    order, so the literal norm matches both engines bit for bit)."""
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+def ivf_seed_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> list[tuple]:
+    """Deterministic seed centroids: the ``n_centroids`` nonzero-norm
+    corpus vectors with the smallest ids -> [(cent_id, vec, norm), ...]
+    ordered by cent_id. One tiny collect (n_centroids rows)."""
+    nrm = F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col)))
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        )
+        .where(nrm > 0)
+        .orderBy("cent_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [
+        (r["cent_id"], [float(x) for x in r["cv"]], _seq_norm(r["cv"]))
+        for r in rows
+    ]
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple],
+    out_id: str = "n_id",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Map-side inverted-list assignment -> [out_id, cent_id].
+
+    The centroid set (tiny) is embedded as plan literals, so assignment
+    is a pure projection over the input scan: per row an ``array_max``
+    (n_probe=1) or ``sort_array`` + ``slice`` + ``explode`` (n_probe>1)
+    over n_centroids (sim, -index, cent_id) structs — NO shuffle, NO
+    window, NO join between the scan and the list key
+    (tests/test_plans.py pins the Exchange-free shape). Ties break by
+    centroid position ascending == cent_id ascending (``cents`` is
+    ordered by cent_id).
+    """
+    base = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))).alias("_n"),
+    ).where(F.col("_n") > 0)
+    structs = []
+    for idx, (cid, vec, nrm) in enumerate(cents):
+        lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+        sim = TH.q6_expr(
+            dot_expr(F.col("_v"), lit_vec) / (F.col("_n") * F.lit(float(nrm)))
+        )
+        structs.append(
+            F.struct(
+                sim.alias("s"),
+                F.lit(-idx).alias("ni"),
+                F.lit(cid).alias("cent_id"),
+            )
+        )
+    arr = F.array(*structs)
+    if n_probe == 1:
+        return base.select(
+            out_id, F.array_max(arr)["cent_id"].alias("cent_id")
+        )
+    top = F.slice(F.sort_array(arr, asc=False), 1, n_probe)
+    return base.select(out_id, F.explode(top).alias("_t")).select(
+        out_id, F.col("_t")["cent_id"].alias("cent_id")
+    )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple],
+    iters: int = 1,
+) -> list[tuple]:
+    """``iters`` deterministic k-means (Lloyd) steps from ``cents``.
+
+    Each step: map-side argmax assignment against the current literal
+    centroids (no shuffle), then one n_centroids-key groupBy computing
+    the per-list element-wise mean with a PINNED FP order (vectors
+    folded in ascending member-id order, each coordinate quantized to
+    6 dp) so the DuckDB oracle derives bit-identical centroids; a
+    centroid whose list is empty is kept unchanged. Per step the driver
+    collects n_centroids rows (tiny). At 100 TB each step is one corpus
+    scan + a 16-key partial aggregate — the standard IVF training shape.
+    """
+    dim = len(cents[0][1])
+    base = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))).alias("_n"),
+    ).where(F.col("_n") > 0)
+    for _ in range(iters):
+        asg = ivf_assign(corpus, id_col, vec_col, cents, out_id="n_id")
+        joined = asg.join(base.select("n_id", "_v"), "n_id")
+        agg = joined.groupBy("cent_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("n_id"), F.col("_v")))
+            ).alias("vs"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        zero = F.array_repeat(F.lit(0.0), dim)
+        summed = F.aggregate(
+            F.col("vs"),
+            zero,
+            lambda acc, s: F.zip_with(
+                acc, s["_v"], lambda a, b: a + b.cast("double")
+            ),
+        )
+        mean = F.transform(summed, lambda x: TH.q6_expr(x / F.col("cnt")))
+        got = {
+            r["cent_id"]: [float(x) for x in r["mv"]]
+            for r in agg.select("cent_id", mean.alias("mv")).collect()
+        }
+        cents = [
+            (cid, got[cid], _seq_norm(got[cid]))
+            if cid in got
+            else (cid, vec, nrm)
+            for (cid, vec, nrm) in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -444,20 +581,24 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     query_id: str | None = None,
+    train_iters: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k -> [q_id, n_id, cosine, rank].
 
     The coarse-quantizer scale path: every corpus vector is assigned to
     its nearest centroid once (the inverted lists), and a query scans
     only its ``n_probe`` nearest lists — expected work per query is
-    n_probe/n_centroids of the corpus instead of all of it. Centroids
-    here are the ``n_centroids`` corpus vectors with the smallest ids:
-    deterministic seed centroids (no k-means iterations), so the DuckDB
-    oracle reproduces the identical lists and the driver check is exact.
-    At 100 TB the same shape holds with trained centroids: the centroid
-    set broadcasts (it is tiny), assignment is one map-side pass
-    (crossJoin with a broadcast side + per-row argmax — no shuffle), the
-    lists are an equi-join key, and only the probed lists rerank.
+    n_probe/n_centroids of the corpus instead of all of it.
+
+    Centroids: deterministic smallest-id seeds refined by ``train_iters``
+    k-means steps (``ivf_train_centroids``; FP order pinned so the DuckDB
+    oracle derives bit-identical centroids and the driver check stays
+    exact). The trained set is embedded as plan LITERALS, so list
+    assignment is one genuinely map-side projection over the corpus scan
+    (``ivf_assign``: per-row ``array_max`` over (sim, -idx, cent_id)
+    structs — no shuffle, no window; the same shape language_id uses,
+    operators/text.py). Probing joins the small probe side broadcast, so
+    candidate generation adds no corpus shuffle either.
 
     Ties break deterministically everywhere: centroid choice by
     (cosine desc, centroid id asc), final top-k by (cosine desc, n_id
@@ -467,40 +608,17 @@ def ivf_topk(
     query_id = query_id or id_col
     nrm = lambda v: F.sqrt(dot_expr(v, v))  # noqa: E731
 
-    cents = (
-        corpus.select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("cv0"),
-            nrm(F.col(vec_col)).alias("cn0"),
+    cents = ivf_seed_centroids(corpus, id_col, vec_col, n_centroids)
+    if train_iters:
+        cents = ivf_train_centroids(
+            corpus, id_col, vec_col, cents, iters=train_iters
         )
-        .where(F.col("cn0") > 0)
-        .orderBy("cent_id")
-        .limit(n_centroids)
+
+    lists = ivf_assign(corpus, id_col, vec_col, cents, out_id="n_id")
+    probes = ivf_assign(
+        queries, query_id, vec_col, cents, out_id="q_id", n_probe=n_probe
     )
-
-    def assign(df: DataFrame, idc: str, out_id: str, top: int) -> DataFrame:
-        base = df.select(
-            F.col(idc).alias(out_id),
-            F.col(vec_col).alias("_v"),
-            nrm(F.col(vec_col)).alias("_n"),
-        ).where(F.col("_n") > 0)
-        sim = TH.q6_expr(
-            dot_expr(F.col("_v"), F.col("cv0")) / (F.col("_n") * F.col("cn0"))
-        )
-        w = Window.partitionBy(out_id).orderBy(
-            F.desc("_sim"), F.asc("cent_id")
-        )
-        return (
-            base.crossJoin(F.broadcast(cents))
-            .select(out_id, "cent_id", sim.alias("_sim"))
-            .withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= top)
-            .select(out_id, "cent_id")
-        )
-
-    lists = assign(corpus, id_col, "n_id", 1)
-    probes = assign(queries, query_id, "q_id", n_probe)
-    cand = probes.join(lists, "cent_id").where(
+    cand = lists.join(F.broadcast(probes), "cent_id").where(
         F.col("q_id") != F.col("n_id")
     ).select("q_id", "n_id")
     qv = queries.select(
@@ -535,16 +653,57 @@ def ivf_topk_oracle_sql(
     n_centroids: int = 16,
     n_probe: int = 4,
     query_id: str | None = None,
+    train_iters: int = 1,
 ) -> str:
-    """DuckDB twin of ``ivf_topk`` — same seed centroids, lists, probes."""
+    """DuckDB twin of ``ivf_topk`` — derives the SAME seed + k-means
+    trained centroids (FP order pinned: ascending-index dot products,
+    ascending-member-id mean folds, q6-quantized coordinates), lists and
+    probes, so the driver check is exact."""
     query_id = query_id or id_col
     nrm = f"sqrt({dot_sql(vec_col, vec_col)})"
-    sim = TH.q6_sql(f"{dot_sql('b._v', 'c.cv0')} / (b._n * c.cn0)")
+
+    def assign_sim(cents: str) -> str:
+        return TH.q6_sql(f"{dot_sql('b._v', 'c.cv')} / (b._n * c.cn)")
+
+    # Iterative centroid refinement: asg{i} (argmax lists), mean{i}
+    # (per-list ordered element-wise mean, q6 per coordinate), cents{i+1}.
+    coord_mean = TH.q6_sql(
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(m.vs, v -> CAST(v[j] AS DOUBLE))), "
+        "(a, b) -> a + b) / m.cnt"
+    )
+    train_ctes = []
+    for i in range(train_iters):
+        cur = f"cents{i}"
+        train_ctes.append(f"""asg{i} AS (
+  SELECT n_id, cent_id FROM (
+    SELECT b.n_id, c.cent_id,
+      row_number() OVER (PARTITION BY b.n_id
+        ORDER BY {assign_sim(cur)} DESC, c.cent_id ASC) AS _r
+    FROM cbase b, {cur} c
+  ) WHERE _r = 1
+), mean{i} AS (
+  SELECT a.cent_id, count(*) AS cnt, list(b._v ORDER BY b.n_id) AS vs
+  FROM asg{i} a JOIN cbase b USING (n_id) GROUP BY a.cent_id
+), craw{i + 1} AS (
+  SELECT s.cent_id,
+    CASE WHEN m.cnt IS NULL THEN s.cv
+      ELSE list_transform(range(1, len(s.cv) + 1), j -> {coord_mean})
+    END AS cv
+  FROM cents{i} s LEFT JOIN mean{i} m USING (cent_id)
+), cents{i + 1} AS (
+  SELECT cent_id, cv, sqrt({dot_sql('cv', 'cv')}) AS cn FROM craw{i + 1}
+)""")
+    train_sql = (", " + ", ".join(train_ctes)) if train_ctes else ""
+    final = f"cents{train_iters}"
+    sim = assign_sim(final)
     dot = dot_sql("qv.qv", "cv.cv")
     q6cos = TH.q6_sql(f"{dot} / (qv.qn * cv.cn)")
     return f"""
-WITH cents AS (
-  SELECT {id_col} AS cent_id, {vec_col} AS cv0, {nrm} AS cn0
+WITH cents0 AS (
+  SELECT {id_col} AS cent_id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cv,
+         {nrm} AS cn
   FROM {corpus_table} WHERE {nrm} > 0
   ORDER BY cent_id LIMIT {n_centroids}
 ), cbase AS (
@@ -553,19 +712,19 @@ WITH cents AS (
 ), qbase AS (
   SELECT {query_id} AS q_id, {vec_col} AS _v, {nrm} AS _n
   FROM ({queries_sql}) WHERE {nrm} > 0
-), lists AS (
+){train_sql}, lists AS (
   SELECT n_id, cent_id FROM (
     SELECT b.n_id, c.cent_id,
       row_number() OVER (PARTITION BY b.n_id
         ORDER BY {sim} DESC, c.cent_id ASC) AS _r
-    FROM cbase b, cents c
+    FROM cbase b, {final} c
   ) WHERE _r = 1
 ), probes AS (
   SELECT q_id, cent_id FROM (
     SELECT b.q_id, c.cent_id,
       row_number() OVER (PARTITION BY b.q_id
         ORDER BY {sim} DESC, c.cent_id ASC) AS _r
-    FROM qbase b, cents c
+    FROM qbase b, {final} c
   ) WHERE _r <= {n_probe}
 ), cand AS (
   SELECT p.q_id, l.n_id FROM probes p JOIN lists l USING (cent_id)

@@ -307,6 +307,25 @@ def test_ivf_topk_parity_and_recall(embs, duck):
     assert agree >= 0.5, f"IVF top-1 agreement too low: {agree}"
 
 
+def test_ivf_topk_parity_two_train_iters(embs, duck):
+    """Exercises the iterative k-means CTE chain (train_iters=2): both
+    engines must derive bit-identical second-generation centroids."""
+    got = similarity.ivf_topk(
+        embs, embs.where("vec_id < 5"), "vec_id", "embedding",
+        k=3, n_centroids=8, n_probe=3, train_iters=2,
+    )
+    want = duck.sql(
+        similarity.ivf_topk_oracle_sql(
+            "embeddings",
+            "SELECT * FROM embeddings WHERE vec_id < 5",
+            "vec_id",
+            "embedding",
+            k=3, n_centroids=8, n_probe=3, train_iters=2,
+        )
+    ).df()
+    assert_frames_equal(got, want, ["q_id", "rank"])
+
+
 def test_near_dup_clusters_parity(docs, duck):
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
     got = dedup.near_dup_clusters(docs, "doc_id", pairs)

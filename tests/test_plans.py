@@ -67,3 +67,20 @@ def test_exact_dedup_is_one_aggregate_no_join(spark):
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or (
         "SortAggregate" in plan
     ), plan
+
+
+def test_ivf_assignment_is_map_side_no_exchange(spark):
+    """ivf_assign embeds the centroid set as plan literals: list
+    assignment must be a pure projection over the scan — no Exchange, no
+    Window, no Join between the parquet read and the (id, cent_id)
+    output (the 100 TB shape ivf_topk's docstring promises)."""
+    from record_matcher_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cents = ivf_seed_centroids(embs, "vec_id", "embedding", 8)
+    plan = _plan(ivf_assign(embs, "vec_id", "embedding", cents))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
