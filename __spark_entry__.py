@@ -390,7 +390,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir, ["documents"])
     return ngram_jaccard_pairs(
         spark.table("documents"), "doc_id", "text",
-        threshold=0.55, block_col="lang",
+        threshold=0.55, block_col="lang", max_block_size=200,
     )
 
 
@@ -802,7 +802,8 @@ def _dataops_oracles() -> dict[str, str]:
             "documents", "doc_id", "text", 3
         ),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(
-            "documents", "doc_id", "text", 3, 0.55, "lang"
+            "documents", "doc_id", "text", 3, 0.55, "lang",
+            max_block_size=200,
         ),
         "dedup_embedding_cosine": _sql_embedding_near_dup(),
         "dedup_embedding_srp": similarity.srp_lsh_pairs_oracle_sql(

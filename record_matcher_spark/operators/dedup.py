@@ -314,7 +314,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     block_col: str | None = None,
-    max_block_size: int | None = None,
+    max_block_size: int | None = 10000,
 ) -> DataFrame:
     """Char n-gram Jaccard >= threshold over blocked pairs.
 
@@ -324,7 +324,10 @@ def ngram_jaccard_pairs(
     slop is realized by exploding one side to buckets {b-1, b, b+1}), AND
     (c) neither doc sits in a (block, bucket) group larger than
     ``max_block_size`` (over-cap groups are dropped from BOTH sides —
-    a pathological group of B rows would otherwise cost B^2 pairs).
+    a pathological group of B rows would otherwise cost B^2 pairs; the
+    default cap of 10,000 bounds any single block to ~10^8 comparisons,
+    so one hot (block, bucket) cell can never go quadratic in the corpus;
+    pass ``None`` to disable explicitly).
 
     The bucket constraint is a deliberate recall bound, not a free
     optimization: n-gram Jaccard is over DISTINCT grams, so a highly
@@ -390,7 +393,7 @@ def ngram_jaccard_pairs_oracle_sql(
     n: int = 3,
     threshold: float = 0.6,
     block_col: str | None = None,
-    max_block_size: int | None = None,
+    max_block_size: int | None = 10000,
 ) -> str:
     """DuckDB twin of ``ngram_jaccard_pairs`` — same block/bucket/cap."""
     codes = (
