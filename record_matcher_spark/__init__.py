@@ -21,7 +21,7 @@ from record_matcher_spark.matcher import RecordMatcher, match_records
 from record_matcher_spark.operators.scoring import score_pairs, uniqueness_by_columns
 from record_matcher_spark.streaming import TranscriptStreamMatcher
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "ColumnRule",

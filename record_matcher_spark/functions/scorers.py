@@ -240,7 +240,18 @@ _JW_CHUNK_CELLS = 1 << 25
 
 def _np_jaro_winkler_batch(x: pd.Series, y: pd.Series) -> pd.Series:
     """Batched Jaro-Winkler: equal pairs short-circuit to 100; unequal
-    pairs are length-sorted and chunked through the vectorized kernel."""
+    pairs are shape-sorted and chunked through the vectorized kernel.
+
+    Chunking bounds the kernel's TRUE cost, n * L1max * L2max (the code
+    matrices are (n, Lmax) — a chunk pays its longest string for every
+    row), not the sum of per-pair areas: JW is symmetric, so each pair is
+    swapped to (shorter, longer) first, pairs are lex-sorted by
+    (longer, shorter), and the chunk boundary is the largest extent whose
+    n * max(shorter) * max(longer) fits the cell budget (binary search —
+    the cost is monotone along the sort). This keeps transposed skewed
+    shapes, e.g. (3, 30000) vs (30000, 3), from inflating a chunk to
+    O(n * 30000^2), and a lone huge pair degrades to its own chunk.
+    """
     xv = x.fillna("").astype(str).to_numpy(dtype=object)
     yv = y.fillna("").astype(str).to_numpy(dtype=object)
     n = len(xv)
@@ -249,18 +260,32 @@ def _np_jaro_winkler_batch(x: pd.Series, y: pd.Series) -> pd.Series:
     if len(neq):
         l1 = np.fromiter((len(xv[i]) for i in neq), dtype=np.int64, count=len(neq))
         l2 = np.fromiter((len(yv[i]) for i in neq), dtype=np.int64, count=len(neq))
-        order = np.argsort(l1 * l2, kind="stable")
-        area = (l1 * l2).clip(min=1)[order]
-        csum = np.cumsum(area)
+        swap = l1 > l2  # JW(x, y) == JW(y, x); kernel twin-parity is pinned
+        xs = np.where(swap, yv[neq], xv[neq])
+        ys = np.where(swap, xv[neq], yv[neq])
+        lmin = np.minimum(l1, l2)
+        lmax = np.maximum(l1, l2)
+        order = np.lexsort((lmin, lmax))
+        xs, ys = xs[order], ys[order]
+        lmin, lmax = lmin[order].clip(min=1), lmax[order].clip(min=1)
+        tgt = neq[order]
+        m = len(tgt)
         start = 0
-        while start < len(neq):
-            base = csum[start - 1] if start else 0
-            stop = max(
-                int(np.searchsorted(csum, base + _JW_CHUNK_CELLS, side="right")),
-                start + 1,
+        while start < m:
+            def _cost(e: int) -> int:
+                return (e - start) * int(lmin[start:e].max()) * int(lmax[e - 1])
+
+            lo, hi = start + 1, m
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if _cost(mid) <= _JW_CHUNK_CELLS:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            stop = lo
+            out[tgt[start:stop]] = _np_jaro_winkler_chunk(
+                xs[start:stop], ys[start:stop]
             )
-            idx = neq[order[start:stop]]
-            out[idx] = _np_jaro_winkler_chunk(xv[idx], yv[idx])
             start = stop
     return pd.Series(out, dtype="float64")
 

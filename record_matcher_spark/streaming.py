@@ -326,6 +326,15 @@ class TranscriptStreamMatcher:
         segments are removed only after the snapshot's ``_COMMIT`` lands
         (a crash in between leaves both generations; readers use the max
         committed generation, and a re-run finishes the cleanup).
+
+        .. warning::
+            Compaction DELETES the old generation's parquet segments.
+            DataFrames previously returned by :meth:`clusters` /
+            :meth:`conversations` are lazy reads over those paths — they
+            fail on their next action once compaction runs. Materialize
+            (collect / write / checkpoint) any result you still need
+            BEFORE calling ``compact()``, and re-acquire fresh DataFrames
+            afterwards.
         """
         cur = self.state()
         if cur is None:

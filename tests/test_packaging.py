@@ -77,3 +77,16 @@ def test_spark_submit_with_pyfiles(tmp_path):
     out = json.loads(line)
     assert out["rows"] == 150
     assert out["statuses"].get("MATCHED", 0) >= 100
+
+
+def test_version_agrees_with_pyproject():
+    """__version__ and pyproject's version must not drift apart."""
+    import re
+
+    import record_matcher_spark as rms
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml")) as f:
+        m = re.search(r'^version\s*=\s*"([^"]+)"', f.read(), re.M)
+    assert m, "pyproject.toml has no version"
+    assert rms.__version__ == m.group(1)

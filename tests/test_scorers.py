@@ -103,6 +103,43 @@ def test_np_jaro_winkler_kernel_bitwise_identical():
     assert len(bad) == 0, [(xs[i], ys[i], got[i], exp[i]) for i in bad[:5]]
 
 
+def test_np_jaro_winkler_transposed_skew_shapes():
+    """A batch mixing (tiny, huge) and (huge, tiny) pairs must stay
+    bit-identical to the Python twin (the batch swaps pairs to
+    (shorter, longer) — JW symmetry) AND must not allocate a chunk of
+    n * Lmax^2 cells: before the shape-keyed chunking this exact mix put
+    both orientations in one chunk with L1max = L2max = huge."""
+    import random
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from record_matcher_spark.functions.scorers import (
+        _np_jaro_winkler_batch,
+        _py_jaro_winkler,
+    )
+
+    rng = random.Random(0xD15C)
+    big = "".join(rng.choice("abcdef gh") for _ in range(30000))
+    xs, ys = [], []
+    for i in range(200):
+        small = "".join(rng.choice("abcdef gh") for _ in range(3))
+        if i % 2:
+            xs.append(small), ys.append(big)
+        else:
+            xs.append(big), ys.append(small)
+    t0 = time.perf_counter()
+    got = _np_jaro_winkler_batch(pd.Series(xs), pd.Series(ys)).to_numpy()
+    dt = time.perf_counter() - t0
+    exp = np.array([_py_jaro_winkler(a, b) for a, b in zip(xs, ys)])
+    assert (got == exp).all()
+    # 200 pairs of area 3x30000 ~= 0.5 * cell budget: the whole batch is
+    # a couple of bounded chunks; the old product-sorted path ran
+    # 200 * 30000^2 cells (~100x budget) here and took minutes.
+    assert dt < 30, f"skewed-shape chunking regressed: {dt:.1f}s"
+
+
 def test_known_values():
     assert SCORERS["exact_match"].py("a", "b") == 0.0
     # levenshtein("kitten","sitting") = 3, max len 7
