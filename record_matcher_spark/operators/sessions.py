@@ -34,11 +34,12 @@ Scale shape (100 TB):
   non-overlapping sessions.
 - ``sessionize`` needs a per-user ordered window (inherent to emitting a
   per-event label). Parallelism is bounded by #users, not #events; the
-  skew risk is one hyperactive user funneling into one task — the same
-  heavy-tail shape as blocking, handled the same way: pre-split such
-  users by coarse time bucket upstream if one user's events exceed a
-  task's memory (a user×day split changes labels only across day
-  boundaries quieter than ``gap``).
+  skew risk is one hyperactive user funneling into one task — pass
+  ``split_bucket_seconds`` to run the heavy window per
+  (user, coarse-time-bucket) instead, with an exact boundary-stitching
+  pass over the tiny per-bucket summary (labels identical to the unsplit
+  path — see the parameter docstring; equivalence property-tested in
+  tests/test_sessions.py).
 - Streaming: state per OPEN session only; the watermark closes sessions
   ``delay`` behind max event time, so state is bounded by the active-user
   set, not history.
@@ -63,6 +64,7 @@ def sessionize(
     *,
     gap_seconds: int = DEFAULT_GAP_SECONDS,
     order_cols: tuple[str, ...] = ("event_id",),
+    split_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Per-event session labels → input columns + ``session_idx`` (0-based
     per user, in time order) and ``session_id`` (``"<user>#<idx>"``).
@@ -75,8 +77,22 @@ def sessionize(
     sort; tied timestamps always land in the SAME session regardless of
     order (their gap is 0 < gap), so the labels — like the session-window
     path, which sorts by time alone — do not depend on the tie-break.
+
+    ``split_bucket_seconds`` — heavy-user skew split. The default path
+    windows over ``partitionBy(user)``: one hyperactive user funnels all
+    its events into one task. With a bucket width set, the ordered window
+    runs per (user, floor(epoch/bucket)) — bounding any task's input to
+    one user-bucket — and a second window over the per-bucket SUMMARY
+    rows (one row per non-empty user-bucket, negligible next to events)
+    stitches the boundaries exactly: a bucket's first event continues the
+    previous non-empty bucket's run iff their true adjacent-event gap is
+    within ``gap_seconds``, and each bucket's label offset is the running
+    sum of boundary-corrected session starts before it. Labels are
+    IDENTICAL to the unsplit path for every bucket width (equivalence is
+    property-tested, boundary-straddling sessions included); tied
+    timestamps share a bucket by construction, so the tie-break argument
+    above still holds.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
     ts = F.col(ts_col)
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         # unix_micros needs TIMESTAMP; interpreting NTZ wall time in the
@@ -85,23 +101,67 @@ def sessionize(
         # so the session_stats path needs no cast.
         ts = ts.cast("timestamp")
     us = F.unix_micros(ts)
-    prev = F.lag(us).over(w)
-    new_session = F.when(
-        prev.isNull() | ((us - prev) > F.lit(_gap_us(gap_seconds))), 1
-    ).otherwise(0)
-    run = Window.partitionBy(user_col).orderBy(ts_col, *order_cols).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    out = (
-        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
-        .withColumn("session_idx", F.sum(new_session).over(run) - F.lit(1))
-        .withColumn(
+    gap = _gap_us(gap_seconds)
+    base = df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+
+    def _label(pre: DataFrame, part_cols: list[str]) -> DataFrame:
+        """new-session flags + running local count within the partition."""
+        w = Window.partitionBy(*part_cols).orderBy(ts_col, *order_cols)
+        prev = F.lag("_us").over(w)
+        flag = F.when(
+            prev.isNull() | ((F.col("_us") - prev) > F.lit(gap)), 1
+        ).otherwise(0)
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return pre.withColumn("_f", flag).withColumn(
+            "_lc", F.sum("_f").over(run)
+        )
+
+    if split_bucket_seconds is None:
+        out = _label(base.withColumn("_us", us), [user_col]).withColumn(
+            "session_idx", F.col("_lc") - F.lit(1)
+        )
+    else:
+        bucket_us = int(split_bucket_seconds) * 1_000_000
+        pre = base.withColumn("_us", us).withColumn(
+            "_bkt", F.floor(F.col("_us") / F.lit(bucket_us))
+        )
+        ev = _label(pre, [user_col, "_bkt"])
+        summary = ev.groupBy(user_col, "_bkt").agg(
+            F.min("_us").alias("_first_us"),
+            F.max("_us").alias("_last_us"),
+            F.sum("_f").alias("_ns"),
+        )
+        ws = Window.partitionBy(user_col).orderBy("_bkt")
+        prev_last = F.lag("_last_us").over(ws)
+        cont = F.when(
+            prev_last.isNotNull()
+            & ((F.col("_first_us") - prev_last) <= F.lit(gap)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        fixed = summary.withColumn("_cont", cont).withColumn(
+            "_off",
+            F.coalesce(
+                F.sum(F.col("_ns") - F.col("_cont")).over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        out = ev.join(
+            fixed.select(user_col, "_bkt", "_cont", "_off"),
+            [user_col, "_bkt"],
+        ).withColumn(
+            "session_idx",
+            F.col("_off") + F.col("_lc") - F.col("_cont") - F.lit(1),
+        )
+    return (
+        out.withColumn(
             "session_id",
             F.concat_ws("#", F.col(user_col).cast("string"),
                         F.col("session_idx").cast("string")),
         )
+        .drop("_us", "_bkt", "_f", "_lc", "_cont", "_off")
     )
-    return out
 
 
 def session_stats(

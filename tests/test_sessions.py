@@ -170,3 +170,63 @@ def test_session_stats_stream_matches_batch(spark, tmp_path):
         for r in session_stats(ev, gap_seconds=GAP_S).collect()
     }
     assert got == want
+
+
+def test_sessionize_split_matches_unsplit(spark):
+    """Heavy-user split (split_bucket_seconds) must produce IDENTICAL
+    labels to the single-window path — on the hand-built boundary
+    fixtures for several bucket widths (including widths smaller than
+    the gap and widths that slice sessions mid-run) and on the real
+    events table."""
+    ev = _events(spark)
+    want = {
+        r["event_id"]: (r["session_idx"], r["session_id"])
+        for r in sessionize(ev, gap_seconds=GAP_S).collect()
+    }
+    for bucket_s in (60, 1800, GAP_S, 2 * GAP_S, 86400):
+        got = {
+            r["event_id"]: (r["session_idx"], r["session_id"])
+            for r in sessionize(
+                ev, gap_seconds=GAP_S, split_bucket_seconds=bucket_s
+            ).collect()
+        }
+        assert got == want, (bucket_s, got, want)
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = sessionize(events).select("event_id", "session_id")
+    b = sessionize(events, split_bucket_seconds=86400).select(
+        "event_id", "session_id"
+    )
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_sessionize_split_bounds_heavy_user_partitions(spark):
+    """One user owning ~50% of all events: with the split, no
+    (user, bucket) window partition holds more than one bucket's worth
+    of that user's events — the skew bound the 100 TB design needs."""
+    rows = []
+    # hyperactive user 1: one event per minute for 4 days (~5760 events)
+    t0 = datetime.datetime(2024, 3, 1)
+    for i in range(5760):
+        rows.append((i, t0 + datetime.timedelta(minutes=i), 1, "a", 1.0))
+    # background users: ~5000 events over the same range
+    for i in range(5000):
+        rows.append(
+            (10000 + i, t0 + datetime.timedelta(minutes=i), 2 + (i % 50),
+             "b", 1.0)
+        )
+    ev = spark.createDataFrame(rows, _SCHEMA)
+    bucket_s = 6 * 3600  # 6h buckets -> 360 events per bucket for u1
+    out = sessionize(ev, gap_seconds=GAP_S, split_bucket_seconds=bucket_s)
+    # labels: user 1 events are 1 min apart -> one giant session
+    u1 = out.where("user_id = 1")
+    assert u1.select("session_idx").distinct().count() == 1
+    assert u1.agg(F.max("session_idx")).first()[0] == 0
+    # window-partition bound: largest (user, bucket) group == one bucket
+    bucket_us = bucket_s * 1_000_000
+    grp = (
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id", F.floor(F.unix_micros("ts") / bucket_us))
+        .count()
+    )
+    assert grp.agg(F.max("count")).first()[0] <= 360
