@@ -181,6 +181,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return neighbors.union(self_edges).where(F.col("u") != F.col("v")).distinct()
 
 
+#: Estimated-node-count threshold above which hash id encoding (64-bit,
+#: collision risk ~n^2/2^65) is automatically escalated to exact
+#: order-preserving dense ids (operators/ids.dense_ids). At 10^8 nodes the
+#: collision probability is ~3e-4 and grows quadratically — past this
+#: point the dictionary join is the correct trade.
+DENSE_ID_NODE_THRESHOLD = 100_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -188,6 +196,7 @@ def connected_components(
     max_iterations: int = 25,
     encode_ids: bool | None = None,
     local_max_edges: int | None = LOCAL_CC_MAX_EDGES,
+    dense_id_threshold: int | None = DENSE_ID_NODE_THRESHOLD,
 ) -> DataFrame:
     """→ DataFrame[node, component] with component = min node id (by the
     natural ordering of the id column's type). Edges with a NULL endpoint
@@ -218,6 +227,18 @@ def connected_components(
     keys instead of strings cuts shuffle bytes ~10x and, measured on this
     pipeline, removes a 4x CPU-inflation at 32 threads caused by
     string-pair allocation churn.
+
+    ``dense_id_threshold``: when the encode path engages, one
+    ``approx_count_distinct`` probe estimates the node count; at or above
+    the threshold the 64-bit hash scheme (collision ~n^2/2^65) is
+    escalated automatically to exact order-preserving dense ids
+    (operators/ids.dense_ids — min over dense ids == min over original
+    ids, so labels are identical and no post-hoc min-restore groupBy is
+    needed). The probe is one scan of the edge projection — noise next to
+    the star rounds at that scale, and it never runs on graphs small
+    enough for the local kernel (they return before this branch). Pass
+    ``None`` to pin the hash scheme (e.g. when the input DAG is expensive
+    and unmaterialized and the node count is known small).
     """
     if local_max_edges:
         ec = edges.select(
@@ -235,14 +256,71 @@ def connected_components(
         # canonical ``component = min original id`` label is restored
         # afterwards with one groupBy over the component members.
         # Collision risk (two conv ids colliding at 64 bits merges two
-        # clusters): ~n^2/2^65 — negligible below ~10^8 nodes; above
-        # that, partition the CC by a corpus shard key or use
-        # operators.ids.dense_ids explicitly.
+        # clusters): ~n^2/2^65 — negligible below ~10^8 nodes; above the
+        # dense_id_threshold probe the exact dense-id path takes over.
         # null endpoints dropped BEFORE hashing: xxhash64(NULL) is a real
         # long (null input hashes to the seed), which would fabricate a node
         nonnull = edges.where(
             F.col(src).isNotNull() & F.col(dst).isNotNull()
         )
+        if dense_id_threshold:
+            n_est = (
+                nonnull.select(
+                    F.explode(F.array(F.col(src), F.col(dst))).alias("_n")
+                )
+                .agg(F.approx_count_distinct("_n").alias("n"))
+                .first()["n"]
+            )
+            if n_est >= dense_id_threshold:
+                from record_matcher_spark.operators.ids import dense_ids
+
+                nodes_all = (
+                    nonnull.select(F.col(src).alias("_orig"))
+                    .union(nonnull.select(F.col(dst).alias("_orig")))
+                    .distinct()
+                )
+                mapping = dense_ids(nodes_all, "_orig", out="_id")
+                enc = (
+                    nonnull.join(
+                        mapping.select(
+                            F.col("_orig").alias("__s"),
+                            F.col("_id").alias("_sid"),
+                        ),
+                        F.col(src) == F.col("__s"),
+                    )
+                    .join(
+                        mapping.select(
+                            F.col("_orig").alias("__d"),
+                            F.col("_id").alias("_did"),
+                        ),
+                        F.col(dst) == F.col("__d"),
+                    )
+                    .select(
+                        F.col("_sid").alias("src"), F.col("_did").alias("dst")
+                    )
+                )
+                labeled = connected_components(
+                    enc, "src", "dst", max_iterations, encode_ids=False,
+                    local_max_edges=0,
+                )
+                # dense ids are order-preserving: the min dense id IS the
+                # min original id — decode with two dictionary joins, no
+                # min-restore aggregation
+                dec_n = mapping.select(
+                    F.col("_id").alias("node"), F.col("_orig").alias("_no")
+                )
+                dec_c = mapping.select(
+                    F.col("_id").alias("component"),
+                    F.col("_orig").alias("_co"),
+                )
+                return (
+                    labeled.join(dec_n, "node")
+                    .join(dec_c, "component")
+                    .select(
+                        F.col("_no").alias("node"),
+                        F.col("_co").alias("component"),
+                    )
+                )
         enc = nonnull.select(
             F.xxhash64(F.col(src)).alias("src"),
             F.xxhash64(F.col(dst)).alias("dst"),

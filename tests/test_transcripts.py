@@ -140,6 +140,34 @@ def test_min_id_per_component_kernel():
                                      np.array([], dtype=np.int64))) == 0
 
 
+def test_connected_components_dense_id_escalation(spark):
+    """Above dense_id_threshold the encode path switches from 64-bit
+    hashes to exact order-preserving dense ids automatically; labels must
+    be identical to the hash path (threshold forced low to drive the
+    escalated branch through a real graph: random edges + a chain)."""
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(70)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    edges += [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    dense = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edf, "src", "dst", local_max_edges=0, dense_id_threshold=10
+        ).collect()
+    }
+    hashed = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edf, "src", "dst", local_max_edges=0, dense_id_threshold=None
+        ).collect()
+    }
+    assert dense == hashed
+    edge_nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    assert dense == oracle_union_find(edge_nodes, edges)
+
+
 def test_connected_components_null_endpoints_ignored(spark):
     edges = [("a", "b"), (None, "b"), ("c", None)]
     edf = spark.createDataFrame(edges, "src string, dst string")
