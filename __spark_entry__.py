@@ -76,7 +76,11 @@ _CFG_FUZZY = MatchConfig(
 )
 _CFG_JW = MatchConfig(
     rules=(
-        ColumnRule("name", ("name",), scorer="jaro_winkler", threshold=90.0),
+        # cutoff=True: sub-90 JW contributes nothing, which arms the
+        # sound length-ratio pre-gate (scorers._jw_upper_bound) — pairs
+        # that provably cannot clear 90 never reach the pandas UDF kernel
+        ColumnRule("name", ("name",), scorer="jaro_winkler", threshold=90.0,
+                   cutoff=True),
         ColumnRule("seg", ("seg",), scorer="token_set_jaccard"),
     ),
     columns_to_group={"nk": "nk"},
@@ -707,6 +711,98 @@ def _q_transcript_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.clusters
 
 
+# Noisy-corpus closed form: same entity/variant structure as
+# _TRANSCRIPTS_FROM_CUSTOMER_SPARK but with PER-ROW TEXT NOISE — variant v
+# of entity k "typos" the turn-1 token at position (k+v)%3 (token ->
+# token~v), so every variant's text differs from every other's. The noise
+# is provably inside the score margin:
+#   - within-entity full_text Jaccard is EXACTLY 8/14 ~ 57.1 for every
+#     variant pair (each variant drops its own typo position from the
+#     shared set and adds 2 private tokens: typo + v-token); with weights
+#     w_ft ~ 2/3, w_fut ~ 1/3 the row score is ~71 >= threshold 45
+#   - cross-entity token sets stay disjoint (everything is k-prefixed) so
+#     full_text scores 0 and the max cross-entity row score stays the
+#     weighted first_user_text levenshtein (~0.33 * ~87 < 31 << 45)
+#   - first_user_text (turn 0) is untouched, so the entity-unique
+#     token-prefix blocking key still guarantees within-entity candidates
+# Clusters therefore still equal entities and the label keeps the
+# one-SELECT closed form 'c<k>_v0'.
+_TRANSCRIPTS_NOISY_SPARK = """
+WITH v AS (
+  SELECT c_custkey AS k, explode(sequence(0, c_custkey % 3)) AS v
+  FROM customer
+), t AS (
+  SELECT k, v, explode(sequence(0, 3)) AS turn_idx FROM v
+)
+SELECT concat('c', k, '_v', v) AS conv_id,
+       CAST(turn_idx AS INT) AS turn_idx,
+       CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       CASE turn_idx
+         WHEN 0 THEN concat('e', k, 'a e', k, 'b e', k, 'c e', k, 'd')
+         WHEN 1 THEN concat(
+           CASE WHEN (k + v) % 3 = 0 THEN concat('e', k, 'e~', v)
+                ELSE concat('e', k, 'e') END, ' ',
+           CASE WHEN (k + v) % 3 = 1 THEN concat('e', k, 'f~', v)
+                ELSE concat('e', k, 'f') END, ' ',
+           CASE WHEN (k + v) % 3 = 2 THEN concat('e', k, 'g~', v)
+                ELSE concat('e', k, 'g') END)
+         WHEN 2 THEN concat('e', k, 'h v', k, 'x', v)
+         ELSE concat('e', k, 'i e', k, 'j')
+       END AS text,
+       '' AS tool,
+       timestamp_seconds(k * 1000 + v * 10 + turn_idx) AS ts
+FROM t
+"""
+
+
+def _q_transcript_clusters_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline on the bounded-perturbation noisy corpus (per-row
+    deterministic typos, margins proven in the corpus comment) — the
+    realistic-path variant of transcript_clusters WITH an exact oracle."""
+    from record_matcher_spark.pipeline import match_transcripts
+
+    _register_views(spark, sf_dir, ["customer"])
+    t = spark.sql(_TRANSCRIPTS_NOISY_SPARK)
+    res = match_transcripts(t, edge_mode="threshold")
+    return res.clusters
+
+
+def _q_transcript_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairwise_f1 harness as a driver row: on the noisy closed-form
+    corpus the clusters provably equal the entities, so the metrics have
+    a one-SELECT closed form — fp = fn = 0, precision = recall = f1 = 1,
+    and tp = sum over entities of C(n_variants, 2) restricted to blocked
+    candidates (= all within-entity pairs; the entity-unique token-prefix
+    key guarantees them)."""
+    from record_matcher_spark.pipeline import match_transcripts, pairwise_f1
+
+    _register_views(spark, sf_dir, ["customer"])
+    t = spark.sql(_TRANSCRIPTS_NOISY_SPARK)
+    res = match_transcripts(t, edge_mode="threshold")
+    truth = t.select(
+        "conv_id",
+        F.regexp_extract("conv_id", r"^c(\d+)_v", 1).alias("entity_id"),
+    ).distinct()
+    m = pairwise_f1(res.clusters, truth, res.candidates)
+    return spark.createDataFrame(
+        [(
+            int(m["tp"]), int(m["fp"]), int(m["fn"]),
+            float(m["precision"]), float(m["recall"]), float(m["f1"]),
+        )],
+        "tp long, fp long, fn long, precision double, recall double, f1 double",
+    )
+
+
+_SQL_TRANSCRIPT_F1 = """
+SELECT CAST(sum((c_custkey % 3 + 1) * (c_custkey % 3) / 2) AS BIGINT) AS tp,
+       CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
+       CAST(1.0 AS DOUBLE) AS "precision",
+       CAST(1.0 AS DOUBLE) AS recall,
+       CAST(1.0 AS DOUBLE) AS f1
+FROM customer
+"""
+
+
 def _q_transcript_clusters_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same pipeline on the realistic noisy synthetic corpus (seeded
     paraphrase/typo/role-noise) — rows-only driver check (clusters there
@@ -873,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": _q_event_sessionize,
         "connected_components": _q_connected_components,
         "transcript_clusters": _q_transcript_clusters,
+        "transcript_clusters_noisy": _q_transcript_clusters_noisy,
+        "transcript_f1": _q_transcript_f1,
         "transcript_clusters_corpus": _q_transcript_clusters_corpus,
         "transcript_increment": _q_transcript_increment,
         "transcript_stream": _q_transcript_stream,
@@ -912,6 +1010,9 @@ def oracle_sql() -> dict[str, str]:
         "event_sessionize": _SQL_EVENT_SESSIONIZE,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "transcript_clusters": _SQL_TRANSCRIPT_CLUSTERS,
+        # same closed-form labels: the noise is provably inside the margin
+        "transcript_clusters_noisy": _SQL_TRANSCRIPT_CLUSTERS,
+        "transcript_f1": _SQL_TRANSCRIPT_F1,
         "transcript_increment": _SQL_TRANSCRIPT_CLUSTERS,
         "transcript_stream": _SQL_TRANSCRIPT_CLUSTERS,
         **_dataops_oracles(),

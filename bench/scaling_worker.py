@@ -28,7 +28,14 @@ def main() -> None:
     from record_matcher_spark.pipeline import match_transcripts
     from record_matcher_spark.session import get_spark
 
-    extra = {"spark.ui.enabled": "false", "spark.driver.memory": "48g"}
+    extra = {"spark.ui.enabled": "false",
+             "spark.driver.memory": os.environ.get("RM_DRIVER_MEM", "48g")}
+    java_opts = os.environ.get("RM_JAVA_OPTS", "")
+    if java_opts:
+        # GC experiments (e.g. -XX:+UseParallelGC): allocation-heavy string
+        # aggregation stages inflate CPU at higher thread counts under G1;
+        # applied identically to every core count so the comparison holds.
+        extra["spark.driver.extraJavaOptions"] = java_opts
     local_dir = os.environ.get("RM_LOCAL_DIR", "/dev/shm/rm-spark-local")
     if local_dir:
         # Shuffle scratch on RAM-disk: this sandbox VM's single shared
@@ -49,7 +56,7 @@ def main() -> None:
         master=f"local[{cores}]",
         # shuffle partitions fixed across runs: SAME plan shape/task count,
         # only executor-thread parallelism varies (the cluster-size knob)
-        shuffle_partitions=32,
+        shuffle_partitions=int(os.environ.get("RM_SHUFFLE_PARTITIONS", "32")),
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -374,6 +374,14 @@ class Scorer:
     the prepped columns. Semantically identical to ``expr``; purely a
     work-motion optimization (a record in a block of size B would
     otherwise be re-preprocessed B times).
+
+    ``upper_bound``: optional cheap Catalyst expression provably >= the
+    scorer's result for the same inputs. Lets scoring pre-gate a
+    cutoff-thresholded rule: when ``upper_bound < threshold`` the exact
+    value cannot pass the gate, so the expensive scorer (pandas UDF)
+    receives defused inputs instead and the contribution is an exact 0
+    either way (operators/scoring._rule_score_expr). Soundness is the
+    only contract — looser is safe, tighter is faster.
     """
 
     name: str
@@ -382,6 +390,7 @@ class Scorer:
     catalyst: bool
     prep: Callable[[Column], Column] | None = None
     pair: Callable[[Column, Column], Column] | None = None
+    upper_bound: Callable[[Column, Column], Column] | None = None
 
 
 SCORERS: dict[str, Scorer] = {}
@@ -394,13 +403,32 @@ def register_scorer(
     catalyst: bool = False,
     prep: Callable[[Column], Column] | None = None,
     pair: Callable[[Column, Column], Column] | None = None,
+    upper_bound: Callable[[Column, Column], Column] | None = None,
 ) -> Scorer:
     """Register a scorer by name (pluggable registry, reference
     config.py:349-400 + tests/test_config.py:194-202)."""
     scorer = Scorer(name=name, expr=expr, py=py, catalyst=catalyst,
-                    prep=prep, pair=pair)
+                    prep=prep, pair=pair, upper_bound=upper_bound)
     SCORERS[name] = scorer
     return scorer
+
+
+def _jw_upper_bound(x: Column, y: Column) -> Column:
+    """Provable Jaro-Winkler ceiling from lengths alone.
+
+    With l1 <= l2, matches m <= l1 and transpositions >= 0 give
+    jaro <= (m/l1 + m/l2 + 1)/3 <= (2 + l1/l2)/3, and the Winkler boost
+    (prefix <= 4, weight 0.1) gives jw <= jaro + 0.4*(1 - jaro)
+    = 0.6*jaro + 0.4 <= 0.8 + 0.2*(l1/l2) — i.e. (80 + 20*ratio) on the
+    0-100 scale. Equal strings short-circuit to 100 (matching the batch
+    kernel). A pair of very different lengths therefore provably cannot
+    clear a high cutoff threshold — e.g. ratio < 0.5 caps jw below 90.
+    """
+    l1, l2 = F.length(x), F.length(y)
+    ratio = F.least(l1, l2).cast("double") / F.greatest(
+        l1, l2, F.lit(1)
+    ).cast("double")
+    return F.when(x == y, F.lit(100.0)).otherwise(80.0 + 20.0 * ratio)
 
 
 register_scorer("exact_match", _expr_exact, _py_exact, catalyst=True)
@@ -420,4 +448,5 @@ register_scorer(
     _make_pandas_scorer(_np_jaro_winkler_batch),
     _py_jaro_winkler,
     catalyst=False,
+    upper_bound=_jw_upper_bound,
 )

@@ -210,11 +210,14 @@ def connected_components(
       below this size the star rounds' per-round shuffle/stage overhead
       dominates wall-clock (measured ~0.9 s/round at 10^4 edges on
       local[32], all fixed cost), while one Arrow batch solves it in
-      milliseconds. Still an executor task, NOT a driver collect. The
-      gate costs one count job over the edge projection — cheap when the
-      upstream (scored pairs) is persisted, as in pipeline/match stages;
-      pass ``local_max_edges=0`` to skip both the count and the local
-      path (e.g. when edges is an expensive unmaterialized DAG).
+      milliseconds. Still an executor task, NOT a driver collect. String
+      ids are hash-encoded BEFORE the single task (see ``encode_ids``) so
+      it consumes 16-byte long pairs; the min-original-id labels are
+      restored by parallel joins afterwards. The gate costs one count job
+      over the edge projection — cheap when the upstream (scored pairs)
+      is persisted, as in pipeline/match stages; pass
+      ``local_max_edges=0`` to skip both the count and the local path
+      (e.g. when edges is an expensive unmaterialized DAG).
     - otherwise: alternating large-star/small-star rounds until the
       canonical edge set's (count, xxhash64-xor) signature is stable,
       then emit each node's component. Each round is localCheckpoint-ed:
@@ -240,14 +243,14 @@ def connected_components(
     ``None`` to pin the hash scheme (e.g. when the input DAG is expensive
     and unmaterialized and the node count is known small).
     """
-    if local_max_edges:
+    if encode_ids is None:
+        encode_ids = dict(edges.dtypes)[src] == "string"
+    if not encode_ids and local_max_edges:
         ec = edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v")
         ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         if ec.count() <= local_max_edges:
             return _local_cc(ec)
-    if encode_ids is None:
-        encode_ids = dict(edges.dtypes)[src] == "string"
     if encode_ids:
         # Inline hash encoding: node -> xxhash64(node) needs NO dictionary
         # join and NO driver action (an order-preserving dense-id scheme
@@ -263,7 +266,18 @@ def connected_components(
         nonnull = edges.where(
             F.col(src).isNotNull() & F.col(dst).isNotNull()
         )
-        if dense_id_threshold:
+        # Local gate runs BEFORE the probe/star machinery, but on the
+        # HASH-ENCODED edges: the single task then reads 16-byte long
+        # pairs instead of id strings (measured: the string-fed task was
+        # ~9s serial at 3M edges — mostly Arrow/pandas object decode —
+        # vs ~2s on longs), and the min-original-id restore below runs as
+        # ordinary parallel joins. Under the gate n <= 2 * local_max_edges
+        # nodes, so 64-bit collisions are negligible and the dense-id
+        # probe is skipped.
+        under_gate = False
+        if local_max_edges:
+            under_gate = nonnull.count() <= local_max_edges
+        if not under_gate and dense_id_threshold:
             n_est = (
                 nonnull.select(
                     F.explode(F.array(F.col(src), F.col(dst))).alias("_n")
@@ -325,10 +339,15 @@ def connected_components(
             F.xxhash64(F.col(src)).alias("src"),
             F.xxhash64(F.col(dst)).alias("dst"),
         )
-        labeled = connected_components(
-            enc, "src", "dst", max_iterations, encode_ids=False,
-            local_max_edges=0,
-        )
+        if under_gate:
+            labeled = _local_cc(
+                enc.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            )
+        else:
+            labeled = connected_components(
+                enc, "src", "dst", max_iterations, encode_ids=False,
+                local_max_edges=0,
+            )
         mapping = (
             nonnull.select(F.col(src).alias("_orig"))
             .union(nonnull.select(F.col(dst).alias("_orig")))

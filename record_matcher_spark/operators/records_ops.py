@@ -33,16 +33,23 @@ def duplicated_by_column(df: DataFrame, column: str) -> DataFrame:
     """O5 (records.py:135-153): rows whose non-blank value in ``column``
     occurs more than once.
 
-    Window count over the value — one shuffle on the column; at scale a hot
-    value lands in one partition, acceptable because the downstream is a
-    filter, not a fat aggregation. (The reference's own test calls a stale
-    name ``records.duplicated``, tests/test_records.py:57 — renamed at
-    records.py:135.)
+    groupBy + left-semi join instead of a value-partitioned window: the
+    aggregate combines map-side (a hot value arrives at its reducer as a
+    handful of partial counts, not all its rows), and the join back is a
+    plain equi-join AQE can broadcast or skew-split — no single task ever
+    holds a hot value's full row set. (The reference's own test calls a
+    stale name ``records.duplicated``, tests/test_records.py:57 — renamed
+    at records.py:135.)
     """
     s = blank_coalesce(F.col(column))
-    w = Window.partitionBy(s)
-    return (
-        df.withColumn("__rm_dup_n", F.when(s != "", F.count(F.lit(1)).over(w)))
+    dup_vals = (
+        df.select(s.alias("__rm_dup_v"))
+        .where(F.col("__rm_dup_v") != "")
+        .groupBy("__rm_dup_v")
+        .agg(F.count(F.lit(1)).alias("__rm_dup_n"))
         .where(F.col("__rm_dup_n") > 1)
-        .drop("__rm_dup_n")
+        .select("__rm_dup_v")
+    )
+    return (
+        df.join(dup_vals, s == F.col("__rm_dup_v"), "left_semi")
     )

@@ -71,11 +71,26 @@ def uniqueness_by_columns(
     return {c: row[f"__rm_u_{c}"] / total for c in columns}
 
 
-def _rule_score_expr(rule, xs: Column, y_prefix: str) -> Column:
+def _rule_score_expr(
+    rule, xs: Column, y_prefix: str, allow_pregate: bool = True
+) -> Column:
     """max-over-y-columns scorer score for one rule (matcher.py:74-84).
 
     Scorers with a ``prep`` phase read the pre-tokenized per-record columns
     (``__rm_xp_*`` / ``__rm_yp_*``) instead of re-preprocessing per pair.
+
+    Pre-gate (``allow_pregate`` + ``scorer.upper_bound`` + ``cutoff``
+    rules): when the scorer's provable ceiling is below the rule
+    threshold, the exact score cannot pass the contribution gate, so the
+    column yields an exact 0.0 without paying the scorer. Catalyst pulls
+    pandas UDFs into an unconditional ArrowEvalPython pass (a ``when``
+    cannot skip them), so the UDF instead receives DEFUSED inputs
+    ('' == '' short-circuits in the batch kernel before any O(L^2) work)
+    and the outer ``when`` discards its value. Semantics are exact: the
+    gate (score >= threshold) fails for any sub-threshold value, and
+    ``any_gate``/contribution see the identical outcome. Only the raw
+    per-column debug scores would differ, so ``keep_column_scores``
+    callers disable the pre-gate (_apply_scoring).
     """
     scorer = SCORERS[rule.scorer]
     if not rule.y_columns:
@@ -88,7 +103,25 @@ def _rule_score_expr(rule, xs: Column, y_prefix: str) -> Column:
             for yc in rule.y_columns
         ]
     else:
-        exprs = [scorer.expr(xs, F.col(f"{y_prefix}{yc}")) for yc in rule.y_columns]
+        pregate = (
+            allow_pregate
+            and rule.cutoff
+            and scorer.upper_bound is not None
+            and not scorer.catalyst
+            and float(rule.threshold) > 0.0
+        )
+        exprs = []
+        for yc in rule.y_columns:
+            ys = F.col(f"{y_prefix}{yc}")
+            if pregate:
+                ok = scorer.upper_bound(xs, ys) >= F.lit(float(rule.threshold))
+                gx = F.when(ok, xs).otherwise(F.lit(""))
+                gy = F.when(ok, ys).otherwise(F.lit(""))
+                exprs.append(
+                    F.when(ok, scorer.expr(gx, gy)).otherwise(F.lit(0.0))
+                )
+            else:
+                exprs.append(scorer.expr(xs, ys))
     return exprs[0] if len(exprs) == 1 else F.greatest(*exprs)
 
 
@@ -288,7 +321,15 @@ def _apply_scoring(
     """
     for i, rule in enumerate(cfg.rules):
         xs = F.col(f"__rm_xs_{rule.x_column}")
-        pairs = pairs.withColumn(f"__rm_s_{i}", _rule_score_expr(rule, xs, "__rm_ys_"))
+        pairs = pairs.withColumn(
+            f"__rm_s_{i}",
+            # pre-gating replaces provably-sub-threshold scores with 0.0 —
+            # identical contributions/gates, but the raw per-column debug
+            # scores must stay exact when the caller asked to see them
+            _rule_score_expr(
+                rule, xs, "__rm_ys_", allow_pregate=not keep_column_scores
+            ),
+        )
 
     # per-rule gate + contribution — accumulated in rule order
     row_score: Column = F.lit(0.0)

@@ -305,6 +305,47 @@ def test_randomized_differential(spark, seed):
     assert_match_equal(spark, x, y, cfg)
 
 
+def test_jw_pregate_is_exact_on_length_skew(spark):
+    """The jaro_winkler length-ratio pre-gate (armed by cutoff=True) must
+    leave scored pairs IDENTICAL to the ungated path and to the Python
+    oracle on data engineered so most pairs are provably sub-threshold
+    (one short x against long ys) plus pairs straddling the bound."""
+    x = {
+        1: {"name": "ab", "grp": "g"},               # ratio tiny vs long ys
+        2: {"name": "martha stewart xyz", "grp": "g"},
+        3: {"name": "m" * 40, "grp": "g"},
+        4: {"name": "", "grp": "g"},
+    }
+    y = {
+        1: {"name": "ab" + "q" * 30, "grp": "g"},    # gated (ratio 2/32)
+        2: {"name": "martha stewart xyw", "grp": "g"},  # near-dup, computed
+        3: {"name": "m" * 39 + "x", "grp": "g"},     # ratio 1, computed
+        4: {"name": "", "grp": "g"},                 # blank == blank
+        5: {"name": "zz", "grp": "g"},
+    }
+    cfg = MatchConfig(
+        rules=(
+            ColumnRule("name", ("name",), scorer="jaro_winkler",
+                       threshold=90.0, cutoff=True),
+        ),
+        columns_to_group={"grp": "grp"},
+        required_threshold=50.0,
+    )
+    assert_match_equal(spark, x, y, cfg)
+    x_df, y_df = records_to_df(spark, x), records_to_df(spark, y)
+    gated = {
+        (r["x_id"], r["y_id"]): r["row_score"]
+        for r in score_pairs(x_df, y_df, cfg).collect()
+    }
+    ungated = {
+        (r["x_id"], r["y_id"]): r["row_score"]
+        for r in score_pairs(
+            x_df, y_df, cfg, keep_column_scores=True
+        ).collect()
+    }
+    assert gated == ungated
+
+
 def test_status_coverage_query_hits_all_five_statuses(spark):
     """The driver's match_statuses dataset must produce every reference
     status (MATCHED / REVIEW / AMBIGUOUS / UNMATCHED / DUPLICATE) and
