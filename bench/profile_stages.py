@@ -38,6 +38,9 @@ def main() -> None:
     # the microbench, one untimed small-corpus pipeline to JIT-compile the
     # codegen classes before any timed stage.
     extra = {"spark.ui.enabled": "false", "spark.driver.memory": "48g"}
+    java_opts = os.environ.get("RM_JAVA_OPTS", "")
+    if java_opts:
+        extra["spark.driver.extraJavaOptions"] = java_opts
     local_dir = os.environ.get("RM_LOCAL_DIR", "/dev/shm/rm-spark-local")
     if local_dir:
         extra["spark.local.dir"] = local_dir
@@ -70,11 +73,25 @@ def main() -> None:
 
     cfg = default_transcript_match_config()
 
+    def _machine_cpu() -> float:
+        """Machine-wide busy CPU seconds (user+nice+system) from /proc/stat.
+        Nothing else runs on this box during a profile, so per-stage deltas
+        attribute to the stage — separating CPU inflation (GC, allocation
+        churn: CPU grows with cores) from underutilization (wall grows,
+        CPU flat)."""
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        hz = os.sysconf("SC_CLK_TCK")
+        return (int(parts[1]) + int(parts[2]) + int(parts[3])) / hz
+
     def timed(name, fn):
+        c0 = _machine_cpu()
         t0 = time.perf_counter()
         out = fn()
         dt = time.perf_counter() - t0
-        print(f"{name:<28} {dt:8.2f}s", flush=True)
+        dc = _machine_cpu() - c0
+        print(f"{name:<28} {dt:8.2f}s  cpu {dc:8.1f}s  ({dc / max(dt, 1e-9):.2f} cores)",
+              flush=True)
         return out
 
     conv = timed("rollup(build+persist+count)",
