@@ -69,6 +69,24 @@ def test_exact_dedup_is_one_aggregate_no_join(spark):
     ), plan
 
 
+def test_rollup_reuses_conv_id_clustered_input(spark):
+    """rollup over an input already hash-partitioned by conv_id (the
+    Iceberg bucket layout of a production transcript corpus, and what
+    bench/scaling_worker.py caches) must add NO Exchange: the aggregate's
+    ClusteredDistribution(conv_id) is satisfied by the child partitioning,
+    so the 10^12-row turn payload is never shuffled by the rollup."""
+    from record_matcher_spark.datagen import generate_transcripts
+    from record_matcher_spark.operators.rollup import rollup_conversations
+
+    t, _ = generate_transcripts(spark, 50, seed=7, num_partitions=4)
+    t = t.repartition(4, "conv_id")
+    plan = _plan(rollup_conversations(t).drop("turns"))
+    agg_part = plan.split("Exchange")[0]  # above the repartition itself
+    assert "ObjectHashAggregate" in agg_part or "SortAggregate" in agg_part
+    # exactly the one Exchange we introduced (the repartition), none added
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_ivf_assignment_is_map_side_no_exchange(spark):
     """ivf_assign embeds the centroid set as plan literals: list
     assignment must be a pure projection over the scan — no Exchange, no
