@@ -186,9 +186,12 @@ median-based: {eff_med:.3f})
 Workload: deterministic synthetic corpus (record_matcher_spark.datagen,
 seed 42, {n_entities} entities -> {lo["convs"]} conversations), pipeline =
 rollup -> blocking (role-seq cap 64 / token-prefix / minhash 16x4 bands)
--> vectorized scoring -> reference-semantics resolve -> connected
-components on dictionary-encoded long ids. Timing excludes input
-generation (cached + counted before the timer).
+-> vectorized scoring -> threshold-mode match edges -> connected
+components on dictionary-encoded long ids (edge_mode="threshold": the
+measured DAG clusters all pairs at required_threshold; the
+reference-semantics resolve stage is exercised by bench.py and the
+driver correctness rows instead). Timing excludes input generation
+(cached + counted before the timer).
 
 Reproduce: `python bench/scaling.py {n_entities} {n_lo} {trials}`
 """

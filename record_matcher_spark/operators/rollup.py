@@ -37,9 +37,22 @@ CONVERSATION_COLUMNS = [
 def rollup_conversations(transcripts: DataFrame) -> DataFrame:
     """One row per conv_id with ordered turns + derived match columns.
 
-    One shuffle (groupBy conv_id). The per-conversation turn order is
-    ``sort_array`` over structs keyed by (turn_idx, ts) — deterministic,
-    executor-side, no window needed.
+    One shuffle (groupBy conv_id) — and ZERO shuffles when the input is
+    already clustered by conv_id (Iceberg bucket layout): the aggregate's
+    required distribution is satisfied by the child partitioning
+    (pinned in tests/test_plans.py).
+
+    The per-conversation turn order is ``sort_array`` over structs keyed
+    by (turn_idx, ts) — deterministic, executor-side, no window needed.
+
+    Tuning (measured, bench/profile_stages.py): ``collect_list`` plans as
+    ObjectHashAggregate, which falls back to serialize-sort-merge past
+    ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold`` (default
+    128!) groups per task — at conversation-scale groups that fallback
+    tripled the stage's memory traffic. Raise the threshold above the
+    expected per-task conversation count when executor memory allows
+    (per-task state = that task's conversations; size partitions
+    accordingly). The bench harness uses 131072.
     """
     turn = F.struct(
         F.col("turn_idx"),
