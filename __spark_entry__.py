@@ -621,6 +621,24 @@ FROM s
 """
 
 
+def _q_event_sessionize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heavy-user SPLIT path of sessionize, cross-engine: per-(user,
+    6h-bucket) windows + exact boundary stitching (sessions.sessionize
+    ``split_bucket_seconds``). The bucket width (6h) is deliberately
+    SMALLER than the gap (12h) so nearly every bucket boundary must
+    stitch — the stress shape. Labels are provably identical to the
+    unsplit path for every width, so the oracle is the very same SQL as
+    ``event_sessionize``."""
+    from record_matcher_spark.operators.sessions import sessionize
+
+    _register_views(spark, sf_dir, ["events"])
+    out = sessionize(
+        spark.table("events"), "user_id", "ts", gap_seconds=_SESSION_GAP_S,
+        split_bucket_seconds=6 * 3600,
+    )
+    return out.select("event_id", "user_id", "session_idx", "session_id")
+
+
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive clustering (large-star/small-star CC) on per-customer
     order chains: consecutive orders of one customer form path edges; CC
@@ -803,16 +821,111 @@ FROM customer
 """
 
 
+# Realistic-shape corpus WITH an exact oracle (round-4: closes the last
+# no_oracle row). Same margin-bounded-noise technique as
+# _TRANSCRIPTS_NOISY_SPARK, extended to every noise channel the datagen
+# corpus exercises (datagen.py _gen_entity/_perturb_text):
+#   - VARIABLE turn counts: T(k) = 4 + 2*((k%7)%3) in {4,6,8}
+#   - TYPOS: variant v>=1 corrupts the turn-1 token at position (k+v)%3
+#     (token -> token~v); positions differ for v=1 vs v=2, so every
+#     variant pair's token overlap has a closed form
+#   - PARAPHRASE: turn 3 reorders its two tokens per variant parity
+#     (token_set_jaccard is order-invariant; levenshtein never sees it —
+#     it reads first_user_text only, which is untouched)
+#   - ROLE NOISE: variant v>=1 with (k+v)%4==0 renames turn 1's
+#     assistant to 'bot' (role_seq then mismatches within the entity —
+#     the exact_match rule contributes 0 for those pairs)
+#   - TOOL TURNS: entities with T>=6 add a 'tool' turn (tool name from a
+#     3-element set), so tool_seq is nonblank and can match ACROSS
+#     entities
+#   - DUPLICATE MENTIONS: turns 4-7 only repeat core tokens (token SETS
+#     unchanged — "assistant restates" realism)
+#   - WHITESPACE NOISE: trailing double space on turn 1 when (k+v)%5==0
+#     (tokenizers split on \s+; levenshtein never sees turn 1)
+#   - TS JITTER: per-variant second-level offsets
+#
+# Why clusters still provably equal entities (cluster label 'c<k>_v0'):
+#   tokens all embed k unambiguously ('e<k><letter a..j>', 'e<k><l>~<v>',
+#   'v<k>x<v>'), so cross-entity full_text token sets are DISJOINT ->
+#   jaccard 0 -> that rule's >0 gate fails and contributes nothing.
+#   Within entity: shared core = {a,b,c,d,h,i,j} (7, duplicated-mention
+#   turns add no new tokens) + {e,f,g} minus each side's typo position;
+#   variant sets are 11 tokens each, so pair (0,w>=1): J = 9/13 ~ 69.2,
+#   pair (1,2): J = 8/14 ~ 57.1 (typo positions (k+1)%3 != (k+2)%3).
+#   Weights (scoring.prepare_x): u(full_text)=1 exactly (the v<k>x<v>
+#   token makes every conversation's text unique), u(first_user_text) =
+#   n_entities/n_convs <= ~0.51 (contiguous TPC-H custkeys are uniform
+#   mod 3, so n_convs >= 2*n_entities - 2), u(role_seq) <= 9/n_convs
+#   (<= 9 distinct role sequences: 3 lengths x bot-flip x first-variant
+#   shapes), u(tool_seq) <= 3/n_convs; per-row u_sum >= 1. Hence
+#     eps := w(role_seq)+w(tool_seq) <= 12/n_convs  (< 0.005 at sf0.001+)
+#     within-entity: score >= (1-eps)*min(J,100) >= 0.995*57.1 = 56.8 > 45
+#       (full_text and first_user_text contributions are a convex
+#        combination of J and lev=100; role/tool at worst contribute 0)
+#     cross-entity: score <= w(first_user_text)*100 + eps*100
+#       <= (0.51/1.51)*100 + 0.5 = 34.3 < 45
+#   The entity-unique token-prefix key on the UNTOUCHED first_user_text
+#   guarantees every within-entity pair is a candidate (block size <= 3,
+#   uncapped family); threshold-mode edges therefore connect exactly the
+#   within-entity pairs, CC gives one cluster per entity, and min conv_id
+#   = 'c<k>_v0' — the same one-SELECT closed form as transcript_clusters.
+_TRANSCRIPTS_CORPUS_SPARK = """
+WITH v AS (
+  SELECT c_custkey AS k, explode(sequence(0, c_custkey % 3)) AS v
+  FROM customer
+), t AS (
+  SELECT k, v, explode(sequence(0, 3 + 2 * ((k % 7) % 3))) AS turn_idx
+  FROM v
+)
+SELECT concat('c', k, '_v', v) AS conv_id,
+       CAST(turn_idx AS INT) AS turn_idx,
+       CASE
+         WHEN turn_idx = 4 THEN 'tool'
+         WHEN turn_idx = 1 AND v > 0 AND (k + v) % 4 = 0 THEN 'bot'
+         WHEN turn_idx % 2 = 0 THEN 'user'
+         ELSE 'assistant'
+       END AS role,
+       CASE turn_idx
+         WHEN 0 THEN concat('e', k, 'a e', k, 'b e', k, 'c e', k, 'd')
+         WHEN 1 THEN concat(
+           CASE WHEN v > 0 AND (k + v) % 3 = 0 THEN concat('e', k, 'e~', v)
+                ELSE concat('e', k, 'e') END, ' ',
+           CASE WHEN v > 0 AND (k + v) % 3 = 1 THEN concat('e', k, 'f~', v)
+                ELSE concat('e', k, 'f') END, ' ',
+           CASE WHEN v > 0 AND (k + v) % 3 = 2 THEN concat('e', k, 'g~', v)
+                ELSE concat('e', k, 'g') END,
+           CASE WHEN (k + v) % 5 = 0 THEN '  ' ELSE '' END)
+         WHEN 2 THEN concat('e', k, 'h v', k, 'x', v)
+         WHEN 3 THEN CASE WHEN v % 2 = 0 THEN concat('e', k, 'i e', k, 'j')
+                          ELSE concat('e', k, 'j e', k, 'i') END
+         WHEN 4 THEN concat('e', k, 'b e', k, 'c')
+         WHEN 5 THEN concat('e', k, 'd e', k, 'a')
+         WHEN 6 THEN concat('e', k, 'h e', k, 'i')
+         ELSE concat('e', k, 'j e', k, 'b')
+       END AS text,
+       CASE WHEN turn_idx = 4
+            THEN element_at(array('search', 'sql', 'python'),
+                            CAST(k % 3 + 1 AS INT))
+            ELSE '' END AS tool,
+       timestamp_seconds(k * 1000 + v * 30 + turn_idx * 3 + (k + v) % 3) AS ts
+FROM t
+"""
+
+
 def _q_transcript_clusters_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same pipeline on the realistic noisy synthetic corpus (seeded
-    paraphrase/typo/role-noise) — rows-only driver check (clusters there
-    have no closed form); cluster-agreement and F1 coverage lives in
-    tests/test_transcripts.py against the vendored reference oracle."""
-    from record_matcher_spark.datagen import generate_transcripts
+    """Full pipeline on the realistic-shape corpus (variable turn counts,
+    typos, paraphrase reorders, role/tool noise, whitespace noise, ts
+    jitter — every channel datagen exercises) with every perturbation
+    provably inside the score margin (proof above the corpus SQL), so the
+    clusters keep the one-SELECT closed form and the driver hash-checks
+    this row exactly. The seeded datagen corpus (no closed form) remains
+    covered by tests/test_transcripts.py against the vendored reference
+    oracle."""
     from record_matcher_spark.pipeline import match_transcripts
 
-    t, _truth = generate_transcripts(spark, 300, seed=42, num_partitions=8)
-    res = match_transcripts(t.cache(), edge_mode="threshold")
+    _register_views(spark, sf_dir, ["customer"])
+    t = spark.sql(_TRANSCRIPTS_CORPUS_SPARK)
+    res = match_transcripts(t, edge_mode="threshold")
     return res.clusters
 
 
@@ -967,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_rollup": _q_session_rollup,
         "event_sessions": _q_event_sessions,
         "event_sessionize": _q_event_sessionize,
+        "event_sessionize_split": _q_event_sessionize_split,
         "connected_components": _q_connected_components,
         "transcript_clusters": _q_transcript_clusters,
         "transcript_clusters_noisy": _q_transcript_clusters_noisy,
@@ -1008,16 +1122,17 @@ def oracle_sql() -> dict[str, str]:
         "session_rollup": _SQL_SESSION_ROLLUP,
         "event_sessions": _SQL_EVENT_SESSIONS,
         "event_sessionize": _SQL_EVENT_SESSIONIZE,
+        # split path: labels provably identical for every bucket width
+        "event_sessionize_split": _SQL_EVENT_SESSIONIZE,
         "connected_components": _SQL_CONNECTED_COMPONENTS,
         "transcript_clusters": _SQL_TRANSCRIPT_CLUSTERS,
         # same closed-form labels: the noise is provably inside the margin
         "transcript_clusters_noisy": _SQL_TRANSCRIPT_CLUSTERS,
         "transcript_f1": _SQL_TRANSCRIPT_F1,
+        # realistic-shape corpus: the perturbations are margin-bounded
+        # (proof at _TRANSCRIPTS_CORPUS_SPARK) so the same closed form holds
+        "transcript_clusters_corpus": _SQL_TRANSCRIPT_CLUSTERS,
         "transcript_increment": _SQL_TRANSCRIPT_CLUSTERS,
         "transcript_stream": _SQL_TRANSCRIPT_CLUSTERS,
         **_dataops_oracles(),
-        # transcript_clusters_corpus: intentionally no oracle (realistic
-        # noisy corpus — clusters have no closed form); driver records the
-        # rows-only check; cluster agreement + F1 coverage is in
-        # tests/test_transcripts.py
     }
