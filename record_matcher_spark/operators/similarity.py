@@ -517,6 +517,44 @@ def ivf_assign(
     )
 
 
+# Fixed-point scale for k-means coordinate sums: each coordinate is
+# quantized to 1e-6 BEFORE summing, making the per-list sum an exact
+# int64 — order-independent (so both engines agree bit-for-bit with no
+# fold-order pinning) and partial-mergeable (constant aggregation state).
+IVF_COORD_SCALE = 1_000_000
+
+
+def _ivf_sum_agg(joined: DataFrame, dim: int) -> DataFrame:
+    """Per-list k-means statistics with CONSTANT aggregation state.
+
+    One hash aggregate per training step over ``[cent_id, _v]`` rows:
+    ``dim`` fixed-point int64 coordinate sums plus a count — O(dim) longs
+    of state per centroid key, fully partial-mergeable (map-side combine),
+    pinned as a plan test (tests/test_plans.py). The previous formulation
+    (``collect_list`` of every member vector, folded in pinned id order)
+    buffered an entire inverted list in ONE aggregation buffer — O(list)
+    state, ~1/n_centroids of the corpus per reducer, an OOM long before
+    100 TB. Exact integer sums are order-independent, which is the very
+    property the pinned fold order was buying, at constant cost instead.
+
+    Overflow bound: |coord| <= C gives |sum| <= rows_per_list * C * 1e6;
+    with unit-scale embeddings (C <= 1) a single list holds ~9.2e12
+    vectors before int64 overflow — beyond the 100 TB design point (and
+    a 10^13-vector corpus would raise n_centroids far above 16 anyway).
+    """
+    sums = [
+        F.sum(
+            F.round(
+                F.col("_v")[j].cast("double") * IVF_COORD_SCALE
+            ).cast("long")
+        ).alias(f"_s{j}")
+        for j in range(dim)
+    ]
+    return joined.groupBy("cent_id").agg(
+        *sums, F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -527,12 +565,13 @@ def ivf_train_centroids(
     """``iters`` deterministic k-means (Lloyd) steps from ``cents``.
 
     Each step: map-side argmax assignment against the current literal
-    centroids (no shuffle), then one n_centroids-key groupBy computing
-    the per-list element-wise mean with a PINNED FP order (vectors
-    folded in ascending member-id order, each coordinate quantized to
-    6 dp) so the DuckDB oracle derives bit-identical centroids; a
-    centroid whose list is empty is kept unchanged. Per step the driver
-    collects n_centroids rows (tiny). At 100 TB each step is one corpus
+    centroids (no shuffle), then ONE n_centroids-key hash aggregate of
+    fixed-point int64 coordinate sums (``_ivf_sum_agg`` — constant
+    per-key state, order-independent, map-side combinable), mean = q6 of
+    (sum / 1e6) / count per coordinate, identical FP ops in the DuckDB
+    twin so the oracle derives bit-identical centroids; a centroid whose
+    list is empty is kept unchanged. Per step the driver collects
+    n_centroids rows (tiny). At 100 TB each step is genuinely one corpus
     scan + a 16-key partial aggregate — the standard IVF training shape.
     """
     dim = len(cents[0][1])
@@ -544,21 +583,19 @@ def ivf_train_centroids(
     for _ in range(iters):
         asg = ivf_assign(corpus, id_col, vec_col, cents, out_id="n_id")
         joined = asg.join(base.select("n_id", "_v"), "n_id")
-        agg = joined.groupBy("cent_id").agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("n_id"), F.col("_v")))
-            ).alias("vs"),
-            F.count(F.lit(1)).alias("cnt"),
+        agg = _ivf_sum_agg(joined, dim)
+        mean = F.array(
+            *[
+                TH.q6_expr(
+                    (
+                        F.col(f"_s{j}").cast("double")
+                        / F.lit(float(IVF_COORD_SCALE))
+                    )
+                    / F.col("cnt")
+                )
+                for j in range(dim)
+            ]
         )
-        zero = F.array_repeat(F.lit(0.0), dim)
-        summed = F.aggregate(
-            F.col("vs"),
-            zero,
-            lambda acc, s: F.zip_with(
-                acc, s["_v"], lambda a, b: a + b.cast("double")
-            ),
-        )
-        mean = F.transform(summed, lambda x: TH.q6_expr(x / F.col("cnt")))
         got = {
             r["cent_id"]: [float(x) for x in r["mv"]]
             for r in agg.select("cent_id", mean.alias("mv")).collect()
@@ -656,9 +693,10 @@ def ivf_topk_oracle_sql(
     train_iters: int = 1,
 ) -> str:
     """DuckDB twin of ``ivf_topk`` — derives the SAME seed + k-means
-    trained centroids (FP order pinned: ascending-index dot products,
-    ascending-member-id mean folds, q6-quantized coordinates), lists and
-    probes, so the driver check is exact."""
+    trained centroids (fixed-point int64 coordinate sums, exact integer
+    arithmetic so no fold-order pinning needed; q6 of (sum/1e6)/count per
+    coordinate — the identical FP op sequence as ``ivf_train_centroids``),
+    lists and probes, so the driver check is exact."""
     query_id = query_id or id_col
     nrm = f"sqrt({dot_sql(vec_col, vec_col)})"
 
@@ -666,11 +704,13 @@ def ivf_topk_oracle_sql(
         return TH.q6_sql(f"{dot_sql('b._v', 'c.cv')} / (b._n * c.cn)")
 
     # Iterative centroid refinement: asg{i} (argmax lists), mean{i}
-    # (per-list ordered element-wise mean, q6 per coordinate), cents{i+1}.
+    # (per-list fixed-point integer coordinate sums — order-independent,
+    # matching _ivf_sum_agg), cents{i+1}.
     coord_mean = TH.q6_sql(
-        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(m.vs, v -> CAST(v[j] AS DOUBLE))), "
-        "(a, b) -> a + b) / m.cnt"
+        "(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(m.vs, v -> CAST(round(CAST(v[j] AS DOUBLE) "
+        f"* {IVF_COORD_SCALE}) AS BIGINT))), "
+        f"(a, b) -> a + b) AS DOUBLE) / {float(IVF_COORD_SCALE)}) / m.cnt"
     )
     train_ctes = []
     for i in range(train_iters):
@@ -683,7 +723,7 @@ def ivf_topk_oracle_sql(
     FROM cbase b, {cur} c
   ) WHERE _r = 1
 ), mean{i} AS (
-  SELECT a.cent_id, count(*) AS cnt, list(b._v ORDER BY b.n_id) AS vs
+  SELECT a.cent_id, count(*) AS cnt, list(b._v) AS vs
   FROM asg{i} a JOIN cbase b USING (n_id) GROUP BY a.cent_id
 ), craw{i + 1} AS (
   SELECT s.cent_id,

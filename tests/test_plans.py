@@ -83,8 +83,37 @@ def test_rollup_reuses_conv_id_clustered_input(spark):
     plan = _plan(rollup_conversations(t).drop("turns"))
     agg_part = plan.split("Exchange")[0]  # above the repartition itself
     assert "ObjectHashAggregate" in agg_part or "SortAggregate" in agg_part
-    # exactly the one Exchange we introduced (the repartition), none added
-    assert plan.count("Exchange") == 1, plan
+    # exactly the one shuffle we introduced (the repartition), none added —
+    # counted as 'Exchange hashpartitioning' so a legitimate future
+    # BroadcastExchange/ReusedExchange can't mask or fail the check
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ivf_training_agg_has_constant_state(spark):
+    """k-means training statistics must be a plain partial-mergeable
+    HashAggregate over fixed-point integer sums: no collect_list (whose
+    per-key state is the entire inverted list — ~1/n_centroids of the
+    corpus in ONE buffer) and no object-hash fallback. The plan must
+    show a partial aggregate below the exchange (map-side combine)."""
+    from pyspark.sql import functions as F
+
+    from record_matcher_spark.operators.similarity import (
+        _ivf_sum_agg,
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cents = ivf_seed_centroids(embs, "vec_id", "embedding", 8)
+    asg = ivf_assign(embs, "vec_id", "embedding", cents, out_id="n_id")
+    base = embs.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("_v")
+    )
+    plan = _plan(_ivf_sum_agg(asg.join(base, "n_id"), len(cents[0][1])))
+    assert "collect_list" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
 
 
 def test_ivf_assignment_is_map_side_no_exchange(spark):
