@@ -49,10 +49,30 @@ def rollup_conversations(transcripts: DataFrame) -> DataFrame:
     ObjectHashAggregate, which falls back to serialize-sort-merge past
     ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold`` (default
     128!) groups per task — at conversation-scale groups that fallback
-    tripled the stage's memory traffic. Raise the threshold above the
-    expected per-task conversation count when executor memory allows
-    (per-task state = that task's conversations; size partitions
-    accordingly). The bench harness uses 131072.
+    tripled the stage's memory traffic. The bench harness uses 131072.
+
+    Sizing the threshold (raise it only within this budget): with the
+    threshold above the per-task group count, a task's aggregation state
+    is ALL of its conversations' turn structs at once, i.e. roughly
+
+        state/task ~ (rows_in / tasks) * bytes_per_turn        (turns
+        uniformly spread; a hot conversation adds its full size to one
+        task's state on top of that)
+
+    and it must fit in that task's share of execution memory:
+    ``spark.executor.memory * spark.memory.fraction / executor cores``.
+    Worked example: 128 MiB input splits of ~150-byte turn rows ->
+    ~0.9 M turns -> ~300 MB of unserialized struct state per task — fine
+    at 4 GB/core, an OOM risk at 1 GB/core. The trade is explicit:
+    UNDER-thresholding degrades every task to serialize-sort-merge
+    (measured ~3x stage memory traffic, ~19% of an 8-core pipeline
+    wall); OVER-thresholding under memory pressure trades that slowdown
+    for an OOM — the fallback IS the spill mechanism, so when the budget
+    above doesn't hold, leave the threshold low (or shrink
+    ``spark.sql.files.maxPartitionBytes`` so per-task state shrinks
+    instead). At 10^12-turn scale prefer more/smaller input splits over a
+    bigger threshold: the state formula scales with split size, not
+    corpus size.
     """
     turn = F.struct(
         F.col("turn_idx"),

@@ -176,8 +176,55 @@ def _y_side(y_df: DataFrame, cfg: MatchConfig, extra: Iterable[str] = ()) -> Dat
     return y_df.select(*y_cols)
 
 
+def _lazy_uniqueness_columns(
+    x_df: DataFrame, columns: list[str]
+) -> tuple[DataFrame, dict[str, Column]]:
+    """Job-free twin of :func:`uniqueness_by_columns`: the same one-pass
+    aggregate stays IN the plan as a one-row relation that is broadcast
+    and cross-joined onto x instead of being collected to the driver.
+
+    Returns (x extended with the ratio columns, {column: ratio Column}).
+    Numerically identical to the eager path: both divide exact integer
+    counts (< 2^53, so the long->double casts are exact) with one
+    correctly-rounded double division — Python's int/int ``/`` and
+    Spark's double division produce the same bits. The empty-table case
+    (total = 0 -> every ratio 0.0) is guarded explicitly, mirroring the
+    eager dict-of-zeros.
+
+    Cost model: the broadcast side is ONE row of O(columns) longs; the
+    cross join is a BroadcastNestedLoopJoin that streams x unchanged
+    (partitioning preserved), so no shuffle is added and plan
+    construction triggers ZERO Spark jobs (pinned in
+    tests/test_transcripts.py).
+    """
+    columns = list(dict.fromkeys(columns))
+    aggs = [F.count(F.lit(1)).alias("__rm_total")]
+    for c in columns:
+        s = blank_coalesce(F.col(c))
+        # same 8-byte-hash distinct count as uniqueness_by_columns
+        aggs.append(
+            F.count_distinct(F.when(s != "", F.xxhash64(s))).alias(
+                f"__rm_ucnt_{c}"
+            )
+        )
+    one = F.broadcast(x_df.agg(*aggs))
+    out = x_df.crossJoin(one)
+    ratios = {
+        c: F.when(
+            F.col("__rm_total") > 0,
+            F.col(f"__rm_ucnt_{c}").cast("double")
+            / F.col("__rm_total").cast("double"),
+        ).otherwise(F.lit(0.0))
+        for c in columns
+    }
+    return out, ratios
+
+
 def prepare_x(
-    x_df: DataFrame, cfg: MatchConfig, uniqueness: Mapping[str, float] | None = None
+    x_df: DataFrame,
+    cfg: MatchConfig,
+    uniqueness: Mapping[str, float] | None = None,
+    lazy_uniqueness: bool = False,
 ) -> DataFrame:
     """Annotate x with normalized match/group strings, per-row weights and
     the per-row optimal threshold.
@@ -190,11 +237,24 @@ def prepare_x(
     ``optimal_threshold = sum(threshold_c * w_c)`` over the refined columns
     (matcher.py:210-214). Accumulation order = rule order, fixed in both
     engine and oracle so float results agree bitwise.
-    """
-    if uniqueness is None:
-        uniqueness = uniqueness_by_columns(x_df, cfg.x_match_columns)
 
-    out = x_df
+    ``lazy_uniqueness``: keep the uniqueness aggregate IN the plan
+    (broadcast one-row cross join, :func:`_lazy_uniqueness_columns`)
+    instead of collecting it eagerly — plan construction then triggers no
+    Spark job. Same bits (see the helper's docstring); the pipeline uses
+    this so building the whole transcript DAG is job-free.
+    """
+    u_cols: Mapping[str, Column]
+    if uniqueness is not None:
+        u_cols = {c: F.lit(float(u)) for c, u in uniqueness.items()}
+        out = x_df
+    elif lazy_uniqueness:
+        out, u_cols = _lazy_uniqueness_columns(x_df, cfg.x_match_columns)
+    else:
+        eager = uniqueness_by_columns(x_df, cfg.x_match_columns)
+        u_cols = {c: F.lit(float(u)) for c, u in eager.items()}
+        out = x_df
+
     nonblank: dict[str, Column] = {}
     for rule in cfg.rules:
         xs = blank_coalesce(F.col(rule.x_column))
@@ -207,16 +267,16 @@ def prepare_x(
     # u_sum = sum of u_c over this row's non-blank match columns, rule order
     u_sum: Column = F.lit(0.0)
     for rule in cfg.rules:
-        u_c = float(uniqueness[rule.x_column])
-        u_sum = u_sum + F.when(nonblank[rule.x_column], F.lit(u_c)).otherwise(0.0)
+        u_c = u_cols[rule.x_column]
+        u_sum = u_sum + F.when(nonblank[rule.x_column], u_c).otherwise(0.0)
     out = out.withColumn("__rm_u_sum", u_sum)
 
     optimal: Column = F.lit(0.0)
     for rule in cfg.rules:
-        u_c = float(uniqueness[rule.x_column])
+        u_c = u_cols[rule.x_column]
         w_c = F.when(
             nonblank[rule.x_column] & (F.col("__rm_u_sum") > 0),
-            F.lit(u_c) / F.col("__rm_u_sum"),
+            u_c / F.col("__rm_u_sum"),
         ).otherwise(0.0)
         out = out.withColumn(f"__rm_w_{rule.x_column}", w_c)
         optimal = optimal + F.lit(float(rule.threshold)) * w_c
@@ -365,6 +425,7 @@ def score_candidate_pairs(
     *,
     keep_column_scores: bool = False,
     uniqueness: Mapping[str, float] | None = None,
+    lazy_uniqueness: bool = False,
 ) -> DataFrame:
     """Score an explicit candidate-pair set (from operators.blocking)
     instead of deriving candidates from ``cfg.columns_to_group``.
@@ -381,13 +442,21 @@ def score_candidate_pairs(
     corpus-level values so a small batch's skewed column statistics don't
     shift the weights (pipeline match_increment).
 
+    ``lazy_uniqueness``: with ``uniqueness=None``, keep the uniqueness
+    aggregate in the plan (broadcast one-row cross join) instead of
+    collecting it eagerly — plan construction triggers zero Spark jobs
+    and the numbers are bit-identical (see :func:`prepare_x`). The
+    pipeline passes True.
+
     Two shuffle-joins (candidates↔x on x_id, result↔y on y_id), both plain
     equi-joins AQE can re-plan (broadcast when a side is small, skew-split
     on hot ids).
     """
     cfg.validate(x_df.columns, y_df.columns)
 
-    x = prepare_x(x_df, cfg, uniqueness=uniqueness)
+    x = prepare_x(
+        x_df, cfg, uniqueness=uniqueness, lazy_uniqueness=lazy_uniqueness
+    )
     xp = x.select(*_x_side_columns(cfg))
     yp = _y_side(y_df, cfg)
 

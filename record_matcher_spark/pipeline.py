@@ -189,7 +189,13 @@ def match_transcripts(
     pairs = _stage(
         "pairs",
         lambda: _obs(
-            score_candidate_pairs(conv, conv, cand, cfg),
+            # lazy_uniqueness: the weight statistics stay in the plan as a
+            # broadcast one-row aggregate — constructing the scoring stage
+            # triggers zero Spark jobs (pinned in test_transcripts; the CC
+            # stage still runs its size-gate/convergence actions, which
+            # are inherent to an iterative algorithm, not plan building)
+            score_candidate_pairs(conv, conv, cand, cfg,
+                                  lazy_uniqueness=True),
             "pairs",
             F.count(F.lit(1)).alias("n_scored_pairs"),
             F.avg("row_score").alias("avg_score"),

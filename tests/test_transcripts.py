@@ -311,3 +311,41 @@ def test_observation_progress_metrics(spark):
     assert prog["pairs"]["n_scored_pairs"] >= prog["pairs"]["n_passing"] > 0
     assert prog["conversations"]["avg_turns"] > 1
     res.unpersist()
+
+
+def test_scoring_stage_build_is_job_free_and_exact(spark):
+    """Constructing the pipeline's scoring stage must trigger NO Spark job:
+    with lazy_uniqueness the weight statistics ride the plan as a
+    broadcast one-row aggregate (scoring._lazy_uniqueness_columns)
+    instead of an eager collect — and the resulting scores must be
+    BIT-identical to the eager path (both divide the same exact integer
+    counts with one correctly-rounded double division)."""
+    from record_matcher_spark.operators.blocking import candidate_pairs
+    from record_matcher_spark.operators.scoring import score_candidate_pairs
+    from record_matcher_spark.pipeline import default_transcript_match_config
+
+    t, _ = _corpus(spark)
+    conv = rollup_conversations(t).drop("turns").cache()
+    conv.count()  # materialize inputs; the assertion targets PLAN BUILDING
+    cfg = default_transcript_match_config()
+    cand = candidate_pairs(conv, conv, cache=False).where("x_id <> y_id")
+    cand = cand.cache()
+    cand.count()
+
+    sc = spark.sparkContext
+    sc.setJobGroup("rm-build-probe", "plan construction must run no jobs")
+    try:
+        lazy = score_candidate_pairs(conv, conv, cand, cfg,
+                                     lazy_uniqueness=True)
+        jobs = sc.statusTracker().getJobIdsForGroup("rm-build-probe")
+        assert list(jobs) == [], f"plan construction ran jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+
+    eager = score_candidate_pairs(conv, conv, cand, cfg)
+    key = lambda r: (r["x_id"], r["y_id"])  # noqa: E731
+    lz = sorted(map(tuple, lazy.collect()), key=lambda r: (r[0], r[1]))
+    eg = sorted(map(tuple, eager.collect()), key=lambda r: (r[0], r[1]))
+    assert len(lz) == len(eg) > 0
+    assert lz == eg  # bitwise: float equality, not tolerance
+    conv.unpersist(); cand.unpersist(); t.unpersist()
