@@ -20,6 +20,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _stat_sample() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat. Steal is time the
+    hypervisor didn't schedule this VM's vCPUs — the one signal that
+    distinguishes host-level interference (other tenants) from our own
+    load, since nothing else runs inside this VM."""
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    return (v[7] if len(v) > 7 else 0), sum(v[:8])
+
+
+# A trial is "quiet" when host steal took <1% of machine capacity during
+# its window. Back-to-back bench invocations were measured to disagree by
+# >2x under a sustained steal window; quiet trials agree.
+_QUIET_STEAL_PCT = 1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -84,31 +100,74 @@ def main() -> None:
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    # Steady-state protocol: the FIRST execution of each query class pays
-    # whole-stage-codegen JIT (measured ~6x CPU on the pair-scoring stage:
-    # 731 vs 121 core-seconds cold vs warm) — discard it, then report the
-    # best of 2 timed executions (interference on this shared VM is
-    # one-sided: it only ever slows a run down). A long-lived cluster job
-    # compiles its classes once, so min warm wall-clock is the number a
-    # production run sees. Every execution materializes fully through the
-    # noop sink.
-    for name in bench_queries:
-        if name not in qs:
-            continue
-        df = qs[name](spark, sf_dir)
-        best = None
-        for i in range(3):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if i == 0:
-                continue  # JIT warm-up, discarded
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    trials: dict[str, list] = {}
+    noisy: list[str] = []
+    # Steady-state + interference-robust protocol (round-3 verdict: the
+    # old per-query best-of-2 reported phantom regressions that isolated
+    # re-runs disproved — a single interference window hit both trials of
+    # one query):
+    # - round 0 executes every query once, untimed: the first execution
+    #   of each query class pays whole-stage-codegen JIT (measured ~6x
+    #   CPU on the pair-scoring stage: 731 vs 121 core-seconds cold vs
+    #   warm); a long-lived cluster job compiles its classes once.
+    # - then TIMED_ROUNDS round-robin passes over ALL queries. Each trial
+    #   also records the host-steal share of machine capacity during its
+    #   window (/proc/stat), because sustained cross-VM interference can
+    #   cover a whole invocation — interleaving alone can't absorb that.
+    # - up to EXTRA_ROUNDS more passes re-run only the queries that have
+    #   no quiet trial yet (steal < 1%).
+    # - the per-query headline is the MIN over quiet trials (noise on
+    #   this shared VM is one-sided — it only ever slows a run down); if
+    #   a query never saw a quiet window, min over all trials, and the
+    #   query is listed under "noisy" so the reader knows the number is
+    #   an upper bound. Per-trial [sec, steal_pct] pairs are emitted
+    #   under "trials".
+    # Every execution materializes fully through the noop sink.
+    TIMED_ROUNDS = 3
+    EXTRA_ROUNDS = 3
+
+    def _timed_trial(name: str, run) -> None:
+        s0, j0 = _stat_sample()
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        s1, j1 = _stat_sample()
+        steal_pct = 100.0 * (s1 - s0) / max(j1 - j0, 1)
+        trials.setdefault(name, []).append([round(dt, 3), round(steal_pct, 2)])
+
+    def _has_quiet(name: str) -> bool:
+        return any(sp < _QUIET_STEAL_PCT for _, sp in trials.get(name, []))
+
+    def _headline(name: str) -> float:
+        ts = trials[name]
+        quiet = [sec for sec, sp in ts if sp < _QUIET_STEAL_PCT]
+        if quiet:
+            return min(quiet)
+        noisy.append(name)
+        return min(sec for sec, _ in ts)
+
+    dfs = {n: qs[n](spark, sf_dir) for n in bench_queries if n in qs}
+    for rnd in range(TIMED_ROUNDS + 1 + EXTRA_ROUNDS):
+        for name, df in dfs.items():
+            if rnd == 0:
+                df.write.format("noop").mode("overwrite").save()
+                continue  # JIT warm-up pass, untimed
+            if rnd > TIMED_ROUNDS and _has_quiet(name):
+                continue  # adaptive extension: only steal-tainted queries
+            _timed_trial(
+                name,
+                lambda df=df: df.write.format("noop").mode("overwrite").save(),
+            )
+        if rnd >= TIMED_ROUNDS and all(_has_quiet(n) for n in dfs):
+            break
+    for name in dfs:
+        timings[name] = _headline(name)
 
     # north-star throughput: transcript ER pipeline, conversations/sec.
     # Input is generated+cached first so the timing covers the PIPELINE
-    # (rollup -> blocking -> scoring -> resolve -> CC), not datagen.
+    # (rollup -> blocking -> scoring -> threshold-mode match edges -> CC;
+    # the reference-semantics resolve stage is exercised by the tabular
+    # match_* queries above and the driver correctness rows), not datagen.
     from record_matcher_spark.datagen import generate_transcripts
     from record_matcher_spark.pipeline import match_transcripts
 
@@ -123,18 +182,21 @@ def main() -> None:
     t_df = t_df.repartition(int(cpus), "conv_id").cache()
     t_df.count()
     n_convs = truth.select("conv_id").distinct().count()
-    best_dt = None
     n_clusters = 0
-    for i in range(3):  # 1 JIT warm-up discarded + best-of-2 (as above)
-        t0 = time.perf_counter()
+
+    def _run_pipeline() -> None:
+        nonlocal n_clusters
         res = match_transcripts(t_df, edge_mode="threshold")
         n_clusters = res.clusters.select("cluster_id").distinct().count()
-        dt = time.perf_counter() - t0
-        if i > 0:
-            best_dt = dt if best_dt is None else min(best_dt, dt)
         res.unpersist()
-    timings["transcripts_match"] = round(best_dt, 3)
-    convs_per_sec = round(n_convs / best_dt, 1)
+
+    _run_pipeline()  # JIT warm-up, untimed (same rationale as above)
+    for i in range(TIMED_ROUNDS + EXTRA_ROUNDS):
+        if i >= TIMED_ROUNDS and _has_quiet("transcripts_match"):
+            break
+        _timed_trial("transcripts_match", _run_pipeline)
+    timings["transcripts_match"] = _headline("transcripts_match")
+    convs_per_sec = round(n_convs / timings["transcripts_match"], 1)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -144,6 +206,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "trials": trials,
+                "noisy": noisy,
                 "sf": sf,
                 "transcripts": {
                     "conversations": n_convs,

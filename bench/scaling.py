@@ -27,6 +27,7 @@ Usage: python bench/scaling.py [n_entities] [n_cores] [trials]
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import statistics
@@ -34,6 +35,42 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS_PATH = os.path.join(REPO, "bench", "scaling_results.json")
+
+
+def _datagen_version() -> str:
+    """Content hash of the corpus generator — a datagen change must
+    invalidate any cached corpus (a stale cache would be silently
+    measured and reported as the headline number)."""
+    with open(os.path.join(REPO, "record_matcher_spark", "datagen.py"), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:10]
+
+
+def _cpu_topology() -> str:
+    """Host CPU topology summary for the report: pinning to cpu ids
+    0..N-1 is only a faithful N-core proxy when those ids are distinct
+    physical cores (SMT siblings would halve the low-core baseline)."""
+    try:
+        pairs = set()
+        cpus = set()
+        with subprocess.Popen(
+            ["lscpu", "-p=CPU,CORE"], stdout=subprocess.PIPE, text=True
+        ) as p:
+            for line in p.stdout:
+                if line.startswith("#"):
+                    continue
+                cpu, core = line.strip().split(",")[:2]
+                cpus.add(cpu)
+                pairs.add((cpu, core))
+        n_cpus = len(cpus)
+        n_cores = len({c for _, c in pairs})
+        smt = "no SMT (cpu id == physical core)" if n_cpus == n_cores else (
+            f"SMT: {n_cpus} cpus on {n_cores} cores — pinned ranges may "
+            "share physical cores"
+        )
+        return f"{n_cpus} cpus / {n_cores} cores, {smt}"
+    except Exception:
+        return "topology unavailable"
 
 
 def write_corpus(n_entities: int, out_dir: str) -> None:
@@ -95,10 +132,17 @@ def main() -> None:
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     n_hi = n_lo * 4
 
+    # Corpus cache keyed on the generator's content hash (a datagen change
+    # invalidates it) and reused only when BOTH writes committed — a
+    # crashed mid-write run leaves no _SUCCESS marker and is regenerated.
     corpus_dir = os.environ.get(
-        "RM_CORPUS_DIR", f"/dev/shm/rm-corpus-{n_entities}"
+        "RM_CORPUS_DIR",
+        f"/dev/shm/rm-corpus-{n_entities}-{_datagen_version()}",
     )
-    if not os.path.exists(os.path.join(corpus_dir, "truth")):
+    if not (
+        os.path.exists(os.path.join(corpus_dir, "truth", "_SUCCESS"))
+        and os.path.exists(os.path.join(corpus_dir, "transcripts", "_SUCCESS"))
+    ):
         write_corpus(n_entities, corpus_dir)
     os.environ["RM_INPUT_PARQUET"] = corpus_dir
     # Throughput GC for the measurement JVMs (both core counts
@@ -124,77 +168,156 @@ def main() -> None:
         hi_runs.append(run(n_hi, n_entities))
         lo_runs.append(run(n_lo, n_entities))
 
-    lo = min(lo_runs, key=lambda r: r["sec"])
-    hi = min(hi_runs, key=lambda r: r["sec"])
+    # The efficiency ratio needs BOTH sides measured on a quiet VM: each
+    # worker reports the host-steal share of its timed window
+    # (scaling_worker._stat_sample), "best" prefers quiet trials
+    # (steal < 1%), and up to 2 extra alternating trial pairs run if
+    # either side never saw a quiet window (cross-VM interference is
+    # sustained, not just transient — best-of over a fixed count can sit
+    # entirely inside a noise window).
+    def _quiet(r: dict) -> bool:
+        return r.get("steal_pct", 0.0) < 1.0
+
+    extra = 0
+    while extra < 2 and not (
+        any(_quiet(r) for r in lo_runs) and any(_quiet(r) for r in hi_runs)
+    ):
+        extra += 1
+        hi_runs.append(run(n_hi, n_entities))
+        lo_runs.append(run(n_lo, n_entities))
+
+    def _best(runs: list[dict]) -> dict:
+        quiet = [r for r in runs if _quiet(r)]
+        return min(quiet or runs, key=lambda r: r["sec"])
+
+    lo = _best(lo_runs)
+    hi = _best(hi_runs)
     lo_med = statistics.median(r["sec"] for r in lo_runs)
     hi_med = statistics.median(r["sec"] for r in hi_runs)
     eff = (hi["convs_per_sec"] / lo["convs_per_sec"]) / 4
     eff_med = (
         (lo["convs"] / hi_med) / (lo["convs"] / lo_med)
     ) / 4
+    # The EFFECTIVE run configuration, captured from the environment the
+    # workers actually saw — the report embeds this instead of hardcoded
+    # prose, so an RM_TASKSET=0 / RM_JAVA_OPTS / RM_SPARK_CONF override
+    # can't ship under a description of a different protocol.
+    config = {
+        "taskset_pinning": os.environ.get("RM_TASKSET", "1") != "0",
+        "cpu_topology": _cpu_topology(),
+        "java_opts": os.environ.get("RM_JAVA_OPTS", ""),
+        "spark_conf": os.environ.get("RM_SPARK_CONF", ""),
+        "aqe": os.environ.get("RM_AQE", "0") != "0",
+        "local_dir": os.environ.get("RM_LOCAL_DIR", "/dev/shm/rm-spark-local"),
+        "shuffle_partitions": os.environ.get("RM_SHUFFLE_PARTITIONS", "32"),
+        "corpus_dir": corpus_dir,
+        "trials": trials,
+    }
     result = {
         "n_entities": n_entities,
+        "n_lo": n_lo, "n_hi": n_hi,
         f"local{n_lo}": lo, f"local{n_hi}": hi,
         f"local{n_lo}_all_sec": [r["sec"] for r in lo_runs],
         f"local{n_hi}_all_sec": [r["sec"] for r in hi_runs],
+        f"local{n_lo}_all_steal_pct": [r.get("steal_pct") for r in lo_runs],
+        f"local{n_hi}_all_steal_pct": [r.get("steal_pct") for r in hi_runs],
+        "best_both_quiet": _quiet(lo) and _quiet(hi),
         "scaling_efficiency_best": round(eff, 3),
         "scaling_efficiency_median": round(eff_med, 3),
+        "config": config,
     }
     print(json.dumps(result))
 
+    # Merge into the per-pair results file, then regenerate BENCH.md from
+    # every recorded pair (so 2->8 and 8->32 evidence coexist).
+    all_results: dict[str, dict] = {}
+    if os.path.exists(RESULTS_PATH):
+        with open(RESULTS_PATH) as f:
+            all_results = json.load(f)
+    all_results[f"{n_lo}->{n_hi}@{n_entities}"] = result
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(all_results, f, indent=1)
+    write_bench_md(all_results)
+
+
+def write_bench_md(all_results: dict[str, dict]) -> None:
+    sections = []
+    for key in sorted(all_results):
+        r = all_results[key]
+        n_lo, n_hi, n_entities = r["n_lo"], r["n_hi"], r["n_entities"]
+        lo, hi = r[f"local{n_lo}"], r[f"local{n_hi}"]
+        cfg = r["config"]
+        pin = (
+            f"taskset-pinned to cpu ids 0..N-1 ({cfg['cpu_topology']})"
+            if cfg["taskset_pinning"]
+            else "NOT pinned (RM_TASKSET=0 override was in effect)"
+        )
+        sections.append(f"""## {n_lo} → {n_hi} cores, {n_entities} entities
+
+| cores | conversations | wall sec (best) | all trials (sec) | trial steal % | convs/sec |
+|---|---|---|---|---|---|
+| {n_lo} | {lo["convs"]} | {lo["sec"]} | {r[f"local{n_lo}_all_sec"]} | {r.get(f"local{n_lo}_all_steal_pct")} | {lo["convs_per_sec"]} |
+| {n_hi} | {hi["convs"]} | {hi["sec"]} | {r[f"local{n_hi}_all_sec"]} | {r.get(f"local{n_hi}_all_steal_pct")} | {hi["convs_per_sec"]} |
+
+Trial steal % = host-steal share of machine capacity during each timed
+window (/proc/stat) — <1% marks a quiet VM; "best" prefers quiet trials
+(this pair's best trials: {"both quiet" if r.get("best_both_quiet") else
+"NOT both quiet — treat the ratio as a lower bound on true efficiency"}).
+
+**Scaling efficiency ({n_lo} → {n_hi} cores) =
+{r["scaling_efficiency_best"]:.3f}** (best-of-{cfg["trials"]};
+median-based: {r["scaling_efficiency_median"]:.3f})
+(= (convs/sec @{n_hi} / convs/sec @{n_lo}) / 4)
+
+Effective config (captured from the run, not assumed): {pin};
+JVM opts `{cfg["java_opts"] or "(none)"}`; Spark conf
+`{cfg["spark_conf"] or "(none)"}`; AQE {"on" if cfg["aqe"] else "off"};
+shuffle partitions {cfg["shuffle_partitions"]} at both core counts;
+shuffle scratch `{cfg["local_dir"]}`; corpus `{cfg["corpus_dir"]}`
+(content-hash keyed, _SUCCESS-checked).
+
+Reproduce: `python bench/scaling.py {n_entities} {n_lo} {cfg["trials"]}`
+""")
+    body = "\n".join(sections)
     md = f"""# BENCH — transcript ER pipeline scaling evidence
 
 North rule: throughput scaling efficiency >= 0.8 from N to 4N executors.
 Sandbox proxy (BASELINE.md): the same pipeline on the same cached input
-at `local[{n_lo}]` (N) vs `local[{n_hi}]` (4N), shuffle partitions fixed
-at 32 so plan shape and task count are identical — only executor-thread
-parallelism varies. Each worker is pinned (`taskset`) to exactly its
-core count: local[N] alone bounds only executor threads, while the JVM
-sizes GC/JIT pools to all host CPUs (ParallelGCThreads measured 23
-unpinned vs 2 pinned), so an unpinned low-core run offloads GC/compiler
-work to ~30 spare cores — help a real N-core executor never gets.
-Isolated JVM per run; 1 warm-up run discarded; inside
-each JVM one untimed small-corpus pipeline execution JIT-compiles the
-codegen classes before the timed run (cold codegen measured ~6x CPU on
-the scoring stage — steady state is what a long-lived executor sees);
-alternating trials; best-of-{trials} per config (noise on this shared VM
-is one-sided — see bench/scaling.py docstring). Two sandbox-only
-confounders are removed so the measurement reflects executor parallelism
-(bench/scaling_worker.py documents both; neither applies to a real
-cluster): shuffle scratch on tmpfs (the VM's single shared block device
-serializes concurrent shuffle writes; real executors have local NVMe) and
-AQE off for this microbench only (its per-query-stage driver round-trips
-dominate at second-scale stages; library defaults keep AQE ON).
-Measurement JVMs run -XX:+UseParallelGC (both configs identically — G1's
-write barriers/refinement measured to double the blocking stage's CPU at
-8 threads) with the collect_list rollup kept in the object hash map
-(fallbackThreshold raised above the per-task group count; the default
-128-key serialize-sort-merge fallback cost ~19% of the 8-core wall).
-The corpus is generated once, parked as parquet, and cached clustered by
-conv_id — the Iceberg bucket layout a production transcript corpus uses —
-so the turn payload is shuffled zero times inside the timed pipeline.
-
-| cores | conversations | wall sec (best) | all trials (sec) | convs/sec |
-|---|---|---|---|---|
-| {n_lo} | {lo["convs"]} | {lo["sec"]} | {result[f"local{n_lo}_all_sec"]} | {lo["convs_per_sec"]} |
-| {n_hi} | {hi["convs"]} | {hi["sec"]} | {result[f"local{n_hi}_all_sec"]} | {hi["convs_per_sec"]} |
-
-**Scaling efficiency ({n_lo} → {n_hi} cores) = {eff:.3f}** (best-of runs;
-median-based: {eff_med:.3f})
-(= (convs/sec @{n_hi} / convs/sec @{n_lo}) / 4)
+at `local[N]` vs `local[4N]`, shuffle partitions fixed so plan shape and
+task count are identical — only executor-thread parallelism varies.
+Protocol (bench/scaling.py): each worker is pinned (`taskset`) to
+exactly its core count — local[N] alone bounds only executor threads,
+while the JVM sizes GC/JIT pools to all host CPUs (ParallelGCThreads
+measured 23 unpinned vs 2 pinned), so an unpinned low-core run offloads
+GC/compiler work to spare cores, help a real N-core executor never
+gets. Isolated JVM per run; 1 warm-up run discarded; inside each JVM
+one untimed small-corpus pipeline execution JIT-compiles the codegen
+classes before the timed run (cold codegen measured ~6x CPU on the
+scoring stage — steady state is what a long-lived executor sees);
+alternating trials (hi, lo, hi, lo, ...) so drift hits both configs;
+best-of-N per config (noise on this shared VM is one-sided — it only
+slows runs down). Two sandbox-only confounders are removed so the
+measurement reflects executor parallelism (bench/scaling_worker.py
+documents both; neither applies to a real cluster): shuffle scratch on
+tmpfs (the VM's single shared block device serializes concurrent
+shuffle writes; real executors have local NVMe) and AQE off for this
+microbench only (its per-query-stage driver round-trips dominate at
+second-scale stages; library defaults keep AQE ON). The corpus is
+generated once, parked as parquet, and cached clustered by conv_id —
+the Iceberg bucket layout a production transcript corpus uses — so the
+turn payload is shuffled zero times inside the timed pipeline.
 
 Workload: deterministic synthetic corpus (record_matcher_spark.datagen,
-seed 42, {n_entities} entities -> {lo["convs"]} conversations), pipeline =
-rollup -> blocking (role-seq cap 64 / token-prefix / minhash 16x4 bands)
--> vectorized scoring -> threshold-mode match edges -> connected
-components on dictionary-encoded long ids (edge_mode="threshold": the
-measured DAG clusters all pairs at required_threshold; the
-reference-semantics resolve stage is exercised by bench.py and the
-driver correctness rows instead). Timing excludes input generation
-(cached + counted before the timer).
+seed 42), pipeline = rollup -> blocking (role-seq cap 64 / token-prefix
+/ minhash 16x4 bands) -> vectorized scoring -> threshold-mode match
+edges -> connected components on dictionary-encoded long ids
+(edge_mode="threshold": the measured DAG clusters all pairs at
+required_threshold; the reference-semantics resolve stage is exercised
+by bench.py's tabular match_* queries and the driver correctness rows).
+Timing excludes input generation (cached + counted before the timer).
+Each section below embeds the EFFECTIVE config its runs used.
 
-Reproduce: `python bench/scaling.py {n_entities} {n_lo} {trials}`
-"""
+{body}"""
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
 

@@ -4,7 +4,10 @@ Usage: python bench/scaling_worker.py <cores> <n_entities> [seed]
 Prints one JSON line {"cores": N, "convs": C, "sec": S, "convs_per_sec": T}.
 
 Input is generated + cached before the timer starts, so the measurement
-covers the pipeline (rollup → blocking → scoring → resolve → CC) only —
+covers the pipeline only: rollup → blocking → scoring → threshold-mode
+match edges → CC (edge_mode="threshold" builds edges straight from the
+scored pairs; the reference-semantics resolve stage is exercised by
+bench.py's tabular match_* queries and the driver correctness rows) —
 the same-input / two-parallelism evidence for the N→4N scaling-efficiency
 criterion (BASELINE.md).
 """
@@ -17,6 +20,16 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _stat_sample() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat. Steal — time the
+    hypervisor ran OTHER tenants on this VM's vCPUs — is the one signal
+    that separates host interference from our own load (nothing else
+    runs inside the VM), so each timed window reports it."""
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    return (v[7] if len(v) > 7 else 0), sum(v[:8])
 
 
 def main() -> None:
@@ -110,16 +123,22 @@ def main() -> None:
     t_df.count()
     n_convs = truth.select("conv_id").distinct().count()
 
+    s0, j0 = _stat_sample()
     t0 = time.perf_counter()
     res = match_transcripts(t_df, edge_mode="threshold")
     res.clusters.select("cluster_id").distinct().count()
     dt = time.perf_counter() - t0
+    s1, j1 = _stat_sample()
 
     print(json.dumps({
         "cores": cores,
         "convs": n_convs,
         "sec": round(dt, 2),
         "convs_per_sec": round(n_convs / dt, 1),
+        # host-steal share of machine capacity during the timed window:
+        # <1% = quiet VM, the number is trustworthy; larger = an upper
+        # bound on the true wall time (interference is one-sided)
+        "steal_pct": round(100.0 * (s1 - s0) / max(j1 - j0, 1), 2),
     }))
 
 
