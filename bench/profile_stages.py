@@ -44,12 +44,18 @@ def main() -> None:
     local_dir = os.environ.get("RM_LOCAL_DIR", "/dev/shm/rm-spark-local")
     if local_dir:
         extra["spark.local.dir"] = local_dir
+    sql_extra = os.environ.get("RM_SPARK_CONF", "")
+    if sql_extra:
+        for kv in sql_extra.split(";"):
+            if kv.strip():
+                k, _, v = kv.partition("=")
+                extra[k.strip()] = v.strip()
     if os.environ.get("RM_AQE", "0") == "0":
         extra["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
         app_name="rm-profile",
         master=f"local[{cores}]",
-        shuffle_partitions=32,
+        shuffle_partitions=int(os.environ.get("RM_SHUFFLE_PARTITIONS", "32")),
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,9 +72,16 @@ def main() -> None:
     warm_res.unpersist()
     warm_df.unpersist()
 
-    t_df, truth = generate_transcripts(spark, n_entities, seed=42,
-                                       num_partitions=32)
-    t_df = t_df.cache()
+    corpus_dir = os.environ.get("RM_INPUT_PARQUET", "")
+    if corpus_dir:
+        t_df = spark.read.parquet(os.path.join(corpus_dir, "transcripts"))
+    else:
+        t_df, _truth = generate_transcripts(spark, n_entities, seed=42,
+                                            num_partitions=32)
+    # conv_id-clustered cache, exactly like bench/scaling_worker.py, so the
+    # stage decomposition matches the scaling measurement's plan shapes
+    n_buckets = int(os.environ.get("RM_SHUFFLE_PARTITIONS", "32"))
+    t_df = t_df.repartition(n_buckets, "conv_id").cache()
     t_df.count()
 
     cfg = default_transcript_match_config()

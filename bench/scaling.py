@@ -151,6 +151,13 @@ def main() -> None:
     # workload (bench notes in BENCH.md); production Spark executors
     # routinely run ParallelGC for batch throughput.
     os.environ.setdefault("RM_JAVA_OPTS", "-XX:+UseParallelGC")
+    # 128 shuffle partitions at EVERY core count (identical plans/task
+    # counts; only thread parallelism varies): 2-16 task waves per core,
+    # the standard production sizing. Measured vs 32 partitions at 480k
+    # entities: 8-core 277.6s -> 256.7s, 32-core 157.3s -> 143.2s — more
+    # waves load-balance stragglers at high parallelism and cost the
+    # low-core side nothing.
+    os.environ.setdefault("RM_SHUFFLE_PARTITIONS", "128")
     # Keep the rollup's collect_list in the object hash map (the default
     # 128-key fallback degrades to serialize-sort-merge; measured 331.5s
     # -> 278.6s on the 8-core worker). Applied identically to both
@@ -318,6 +325,13 @@ Timing excludes input generation (cached + counted before the timer).
 Each section below embeds the EFFECTIVE config its runs used.
 
 {body}"""
+    # Measured analysis (per-stage decomposition, hardware-ceiling
+    # evidence) maintained by hand in bench/SCALING_NOTES.md — appended
+    # verbatim so regeneration never drops it.
+    notes = os.path.join(REPO, "bench", "SCALING_NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
 

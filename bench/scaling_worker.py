@@ -117,9 +117,13 @@ def main() -> None:
     # partitioned for rollup; a production table is bucketed by conv_id).
     # The rollup groupBy and the x-side scoring join then reuse this
     # partitioning (no Exchange): the 12M-row turn payload is shuffled
-    # zero times inside the measured pipeline instead of once. Identical
-    # at every core count (32 partitions either way).
-    t_df = t_df.repartition(32, "conv_id").cache()
+    # zero times inside the measured pipeline instead of once. The bucket
+    # count matches the shuffle-partition count (identical at every core
+    # count): any hash partitioning on conv_id satisfies the aggregate's
+    # required distribution, and multiple task waves per core keep the
+    # stage load-balanced at the higher parallelism.
+    n_buckets = int(os.environ.get("RM_SHUFFLE_PARTITIONS", "32"))
+    t_df = t_df.repartition(n_buckets, "conv_id").cache()
     t_df.count()
     n_convs = truth.select("conv_id").distinct().count()
 
