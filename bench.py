@@ -199,24 +199,41 @@ def main() -> None:
     convs_per_sec = round(n_convs / timings["transcripts_match"], 1)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "trials": trials,
-                "noisy": noisy,
-                "sf": sf,
-                "transcripts": {
-                    "conversations": n_convs,
-                    "clusters": n_clusters,
-                    "conversations_per_sec": convs_per_sec,
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "trials": trials,
+        "noisy": noisy,
+        "sf": sf,
+        "transcripts": {
+            "conversations": n_convs,
+            "clusters": n_clusters,
+            "conversations_per_sec": convs_per_sec,
+        },
+    }
+    # Surface the recorded N->4N scaling evidence (bench/scaling.py runs,
+    # protocol + analysis in BENCH.md) so this one line carries it too.
+    results_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench", "scaling_results.json",
+    )
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            recorded = json.load(f)
+        out["scaling"] = {
+            pair: {
+                "efficiency_best": r["scaling_efficiency_best"],
+                "efficiency_median": r["scaling_efficiency_median"],
+                "convs_per_sec": {
+                    str(n): r[f"local{n}"]["convs_per_sec"]
+                    for n in (r["n_lo"], r["n_hi"])
                 },
             }
-        )
-    )
+            for pair, r in recorded.items()
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
