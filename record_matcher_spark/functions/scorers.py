@@ -163,13 +163,45 @@ def _np_jaro_winkler_chunk(
     float64 expression order) so results are bit-identical to the Python
     twin — pinned by tests/test_scorers.py's differential sweep.
 
-    Cost: O(L1 * n * L2) boolean algebra for the chunk, all inside numpy —
-    no per-pair Python. The caller length-sorts and chunks so L1*L2 stays
-    representative of the chunk's strings, not the batch's longest.
+    Rows are grouped by match-window width ``w = max(l1,l2)//2 - 1``
+    (contiguous runs after the caller's length sort; a stable argsort
+    makes direct calls safe too) so each group runs the fixed-window core
+    below — the window becomes a column SLICE instead of a per-iteration
+    (n, L2) mask, dropping two of the six memory passes per character and
+    shrinking the operated width to ``2w+1``. Grouping also tightens each
+    group's code-matrix extents to its own max lengths.
     """
     n = len(xs)
     l1 = np.fromiter((len(s) for s in xs), dtype=np.int64, count=n)
     l2 = np.fromiter((len(s) for s in ys), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    w = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    order = np.argsort(w, kind="stable")  # no-op for length-sorted input
+    ws = w[order]
+    starts = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+    for s, e in zip(starts, np.r_[starts[1:], n]):
+        idx = order[s:e]
+        out[idx] = _np_jw_core(
+            xs[idx], ys[idx], l1[idx], l2[idx], int(ws[s]), prefix_weight
+        )
+    return out
+
+
+def _np_jw_core(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    l1: np.ndarray,
+    l2: np.ndarray,
+    w: int,
+    prefix_weight: float,
+) -> np.ndarray:
+    """Fixed-window Jaro-Winkler core: every row shares window width ``w``,
+    so the per-character candidate range is the column slice
+    ``[i-w, i+w+1)`` — pure views, no window mask. Cost: O(n * L1 * (2w+1))
+    boolean algebra, all inside numpy — no per-pair Python."""
+    n = len(xs)
     L1 = int(l1.max(initial=0))
     L2 = int(l2.max(initial=0))
     out = np.zeros(n, dtype=np.float64)
@@ -182,19 +214,26 @@ def _np_jaro_winkler_chunk(
     # and the inner loop needs no validity terms
     A[np.arange(L1)[None, :] >= l1[:, None]] = 0xFFFFFFFE
     B[np.arange(L2)[None, :] >= l2[:, None]] = 0xFFFFFFFF
-    w = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)[:, None]
-    jarr = np.arange(L2)[None, :]
     am = np.zeros((n, L1), dtype=bool)
     avail = np.ones((n, L2), dtype=bool)  # ~matched-in-B, kept incrementally
     buf = np.empty((n, L2), dtype=bool)
-    wm = np.empty((n, L2), dtype=bool)
     rn = np.arange(n)
     for i in range(L1):
-        # first unmatched j in [i-w, i+w] with B[j]==A[i] (greedy, = twin)
+        # first unmatched j in [i-w, i+w] with B[j]==A[i] (greedy, = twin).
+        # Full-width contiguous ops (numpy's SIMD fast path needs them);
+        # the fixed window is applied by zeroing the out-of-window column
+        # stripes — O(n * (L2 - window)) writes, tiny for mid-string i —
+        # instead of computing an (n, L2) window mask every iteration.
+        lo = max(0, i - w)
+        hi = min(L2, i + w + 1)
+        if lo >= hi:
+            continue  # window entirely past the B extent: no j possible
         np.equal(B, A[:, i : i + 1], out=buf)
         buf &= avail
-        np.less_equal(np.abs(jarr - i), w, out=wm)
-        buf &= wm
+        if lo:
+            buf[:, :lo] = False
+        if hi < L2:
+            buf[:, hi:] = False
         j = buf.argmax(axis=1)
         rows = np.nonzero(buf[rn, j])[0]
         avail[rows, j[rows]] = False
@@ -329,10 +368,22 @@ def _expr_token_set_jaccard(x: Column, y: Column) -> Column:
 
 def _pair_token_set_jaccard(tx: Column, ty: Column) -> Column:
     """Jaccard over pre-tokenized arrays (the ``prep`` fast path: a record
-    is tokenized once per side instead of once per candidate pair)."""
-    inter = F.size(F.array_intersect(tx, ty)).cast("double")
-    union = F.size(F.array_union(tx, ty)).cast("double")
-    return F.when(union == 0, F.lit(100.0)).otherwise(100.0 * inter / union)
+    is tokenized once per side instead of once per candidate pair).
+
+    The prep arrays are distinct by construction (``array_distinct`` in
+    :func:`_tokens_expr`), so ``|tx ∪ ty| = |tx| + |ty| - |tx ∩ ty|`` —
+    the union is pure arithmetic over sizes already at hand instead of a
+    second per-pair hash-set pass (``array_union`` would rebuild and
+    materialize the combined array just to take its length). This is the
+    single hottest expression of the transcript pipeline (it runs once
+    per candidate pair on whole-conversation token sets), so halving its
+    allocation work matters at any scale. Values are bit-identical: same
+    integer counts, same one double division."""
+    inter = F.size(F.array_intersect(tx, ty))
+    union = (F.size(tx) + F.size(ty) - inter).cast("double")
+    return F.when(union == 0, F.lit(100.0)).otherwise(
+        100.0 * inter.cast("double") / union
+    )
 
 
 def _make_pandas_scorer(batch_fn: Callable[[pd.Series, pd.Series], pd.Series]):
@@ -431,9 +482,26 @@ def _jw_upper_bound(x: Column, y: Column) -> Column:
     return F.when(x == y, F.lit(100.0)).otherwise(80.0 + 20.0 * ratio)
 
 
+def _lev_upper_bound(x: Column, y: Column) -> Column:
+    """Provable levenshtein_ratio ceiling from lengths alone.
+
+    ``levenshtein(x, y) >= |len(x) - len(y)|`` (every unmatched length
+    unit costs at least one insert/delete), so
+    ``ratio <= 100 * (1 - |l1-l2| / max(l1, l2, 1))``. Arms the same
+    cutoff-rule pre-gate as the Jaro-Winkler bound: a pair whose length
+    gap alone puts it under the rule threshold skips the O(L1*L2)
+    levenshtein DP entirely (scoring._rule_score_expr)."""
+    l1, l2 = F.length(x), F.length(y)
+    gap = F.abs(l1 - l2).cast("double")
+    return 100.0 * (
+        F.lit(1.0) - gap / F.greatest(l1, l2, F.lit(1)).cast("double")
+    )
+
+
 register_scorer("exact_match", _expr_exact, _py_exact, catalyst=True)
 register_scorer(
-    "levenshtein_ratio", _expr_levenshtein_ratio, _py_levenshtein_ratio, catalyst=True
+    "levenshtein_ratio", _expr_levenshtein_ratio, _py_levenshtein_ratio,
+    catalyst=True, upper_bound=_lev_upper_bound,
 )
 register_scorer(
     "token_set_jaccard",

@@ -107,13 +107,20 @@ def _rule_score_expr(
             allow_pregate
             and rule.cutoff
             and scorer.upper_bound is not None
-            and not scorer.catalyst
             and float(rule.threshold) > 0.0
         )
         exprs = []
         for yc in rule.y_columns:
             ys = F.col(f"{y_prefix}{yc}")
-            if pregate:
+            if pregate and scorer.catalyst:
+                # codegen CASE WHEN short-circuits per row, so a plain
+                # conditional skips the expensive expression (e.g. the
+                # O(L1*L2) levenshtein DP) — no defusing dance needed
+                ok = scorer.upper_bound(xs, ys) >= F.lit(float(rule.threshold))
+                exprs.append(
+                    F.when(ok, scorer.expr(xs, ys)).otherwise(F.lit(0.0))
+                )
+            elif pregate:
                 ok = scorer.upper_bound(xs, ys) >= F.lit(float(rule.threshold))
                 gx = F.when(ok, xs).otherwise(F.lit(""))
                 gy = F.when(ok, ys).otherwise(F.lit(""))
