@@ -46,6 +46,22 @@ def _datagen_version() -> str:
         return hashlib.sha256(f.read()).hexdigest()[:10]
 
 
+def _code_version() -> str:
+    """Content hash of the measured library — trials may only be POOLED
+    across invocations when they measured identical pipeline code (and an
+    identical protocol config; see the merge in main()). Pooling across a
+    code change would mix two different pipelines into one best-of."""
+    h = hashlib.sha256()
+    pkg = os.path.join(REPO, "record_matcher_spark")
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for name in sorted(files):
+            if name.endswith(".py"):
+                with open(os.path.join(root, name), "rb") as f:
+                    h.update(name.encode())
+                    h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def _cpu_topology() -> str:
     """Host CPU topology summary for the report: pinning to cpu ids
     0..N-1 is only a faithful N-core proxy when those ids are distinct
@@ -218,6 +234,7 @@ def main() -> None:
         "local_dir": os.environ.get("RM_LOCAL_DIR", "/dev/shm/rm-spark-local"),
         "shuffle_partitions": os.environ.get("RM_SHUFFLE_PARTITIONS", "32"),
         "corpus_dir": corpus_dir,
+        "code_hash": _code_version(),
         "trials": trials,
     }
     result = {
@@ -233,18 +250,65 @@ def main() -> None:
         "scaling_efficiency_median": round(eff_med, 3),
         "config": config,
     }
-    print(json.dumps(result))
 
     # Merge into the per-pair results file, then regenerate BENCH.md from
-    # every recorded pair (so 2->8 and 8->32 evidence coexist).
+    # every recorded pair (so 2->8 and 8->32 evidence coexist). If the
+    # file already holds this pair measured under the IDENTICAL protocol
+    # config AND identical library code (code_hash), the trials are
+    # POOLED: co-tenant memory-bandwidth noise on this VM is one-sided
+    # and arrives in multi-minute windows (SCALING_NOTES.md §4), so the
+    # min over a larger sample is a strictly tighter upper bound on the
+    # quiet-machine time, and every trial stays visible in the report.
+    # Any config or code difference replaces the entry instead.
     all_results: dict[str, dict] = {}
     if os.path.exists(RESULTS_PATH):
         with open(RESULTS_PATH) as f:
             all_results = json.load(f)
-    all_results[f"{n_lo}->{n_hi}@{n_entities}"] = result
+    key = f"{n_lo}->{n_hi}@{n_entities}"
+    prior = all_results.get(key)
+    if prior is not None and prior.get("config") == config | {
+        "trials": prior.get("config", {}).get("trials")
+    }:
+        result = _pool(prior, result, n_lo, n_hi)
+    print(json.dumps(result))
+    all_results[key] = result
     with open(RESULTS_PATH, "w") as f:
         json.dump(all_results, f, indent=1)
     write_bench_md(all_results)
+
+
+def _pool(prior: dict, new: dict, n_lo: int, n_hi: int) -> dict:
+    """Pool two same-config/same-code runs of one pair into a single
+    record: concatenated trial lists, best/median recomputed over the
+    union (quiet-preferred best, exactly as within one run)."""
+    out = dict(new)
+    for n in (n_lo, n_hi):
+        secs = prior[f"local{n}_all_sec"] + new[f"local{n}_all_sec"]
+        steals = (
+            prior[f"local{n}_all_steal_pct"] + new[f"local{n}_all_steal_pct"]
+        )
+        convs = new[f"local{n}"]["convs"]
+        runs = [
+            {"cores": n, "convs": convs, "sec": s,
+             "convs_per_sec": round(convs / s, 1), "steal_pct": st}
+            for s, st in zip(secs, steals)
+        ]
+        quiet = [r for r in runs if (r["steal_pct"] or 0.0) < 1.0]
+        out[f"local{n}"] = min(quiet or runs, key=lambda r: r["sec"])
+        out[f"local{n}_all_sec"] = secs
+        out[f"local{n}_all_steal_pct"] = steals
+    lo, hi = out[f"local{n_lo}"], out[f"local{n_hi}"]
+    out["best_both_quiet"] = (
+        (lo["steal_pct"] or 0.0) < 1.0 and (hi["steal_pct"] or 0.0) < 1.0
+    )
+    out["scaling_efficiency_best"] = round(
+        (hi["convs_per_sec"] / lo["convs_per_sec"]) / 4, 3
+    )
+    lo_med = statistics.median(out[f"local{n_lo}_all_sec"])
+    hi_med = statistics.median(out[f"local{n_hi}_all_sec"])
+    out["scaling_efficiency_median"] = round((lo_med / hi_med) / 4, 3)
+    out["config"]["trials"] = len(out[f"local{n_lo}_all_sec"])
+    return out
 
 
 def write_bench_md(all_results: dict[str, dict]) -> None:
