@@ -433,6 +433,16 @@ class Scorer:
     receives defused inputs instead and the contribution is an exact 0
     either way (operators/scoring._rule_score_expr). Soundness is the
     only contract — looser is safe, tighter is faster.
+
+    ``bounded``: optional ``(x, y, threshold) -> Column`` returning the
+    EXACT score whenever it is >= threshold and an exact 0.0 otherwise —
+    the same contract the pre-gate already established (a cutoff rule
+    cannot distinguish sub-threshold values from 0: the gate fails and
+    the contribution is 0 either way). Lets a scorer use an
+    early-abandoning kernel whose cost scales with the threshold (e.g.
+    the banded Levenshtein DP) instead of the full computation. Used only
+    under the pre-gate conditions (cutoff rule, pre-gating allowed), so
+    ``keep_column_scores`` callers still see exact raw scores.
     """
 
     name: str
@@ -442,6 +452,7 @@ class Scorer:
     prep: Callable[[Column], Column] | None = None
     pair: Callable[[Column, Column], Column] | None = None
     upper_bound: Callable[[Column, Column], Column] | None = None
+    bounded: Callable[[Column, Column, float], Column] | None = None
 
 
 SCORERS: dict[str, Scorer] = {}
@@ -455,11 +466,13 @@ def register_scorer(
     prep: Callable[[Column], Column] | None = None,
     pair: Callable[[Column, Column], Column] | None = None,
     upper_bound: Callable[[Column, Column], Column] | None = None,
+    bounded: Callable[[Column, Column, float], Column] | None = None,
 ) -> Scorer:
     """Register a scorer by name (pluggable registry, reference
     config.py:349-400 + tests/test_config.py:194-202)."""
     scorer = Scorer(name=name, expr=expr, py=py, catalyst=catalyst,
-                    prep=prep, pair=pair, upper_bound=upper_bound)
+                    prep=prep, pair=pair, upper_bound=upper_bound,
+                    bounded=bounded)
     SCORERS[name] = scorer
     return scorer
 
@@ -482,6 +495,28 @@ def _jw_upper_bound(x: Column, y: Column) -> Column:
     return F.when(x == y, F.lit(100.0)).otherwise(80.0 + 20.0 * ratio)
 
 
+def _bounded_levenshtein_ratio(x: Column, y: Column, threshold: float) -> Column:
+    """Banded Levenshtein: exact ratio when >= threshold, exact 0.0 below.
+
+    ``ratio >= T  ⇔  distance <= floor(maxlen * (1 - T/100))`` (distance
+    is integral), so the thresholded ``levenshtein(x, y, k)`` builtin —
+    which computes only a band of 2k+1 diagonals and returns -1 as soon
+    as the distance provably exceeds k — decides the gate with
+    O(k * maxlen) work instead of the full O(L1 * L2) DP, and when the
+    pair passes, the returned distance (<= k) is exact, so the ratio is
+    bit-identical to the unbounded scorer. At threshold 50 the band is
+    half the table; higher thresholds shrink it linearly. Only used under
+    the pre-gate contract (see ``Scorer.bounded``)."""
+    ml = F.greatest(F.length(x), F.length(y), F.lit(1))
+    k = F.floor(
+        ml.cast("double") * F.lit(1.0 - float(threshold) / 100.0)
+    ).cast("int")
+    d = F.call_function("levenshtein", x, y, k)
+    return F.when(d < 0, F.lit(0.0)).otherwise(
+        100.0 * (F.lit(1.0) - d.cast("double") / ml.cast("double"))
+    )
+
+
 def _lev_upper_bound(x: Column, y: Column) -> Column:
     """Provable levenshtein_ratio ceiling from lengths alone.
 
@@ -502,6 +537,7 @@ register_scorer("exact_match", _expr_exact, _py_exact, catalyst=True)
 register_scorer(
     "levenshtein_ratio", _expr_levenshtein_ratio, _py_levenshtein_ratio,
     catalyst=True, upper_bound=_lev_upper_bound,
+    bounded=_bounded_levenshtein_ratio,
 )
 register_scorer(
     "token_set_jaccard",

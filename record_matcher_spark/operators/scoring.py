@@ -115,11 +115,18 @@ def _rule_score_expr(
             if pregate and scorer.catalyst:
                 # codegen CASE WHEN short-circuits per row, so a plain
                 # conditional skips the expensive expression (e.g. the
-                # O(L1*L2) levenshtein DP) — no defusing dance needed
+                # O(L1*L2) levenshtein DP) — no defusing dance needed.
+                # Under the same contract a ``bounded`` kernel may replace
+                # the full scorer: exact when >= threshold, exact 0.0
+                # below (e.g. the banded Levenshtein DP, whose cost
+                # scales with the threshold band instead of L1*L2).
                 ok = scorer.upper_bound(xs, ys) >= F.lit(float(rule.threshold))
-                exprs.append(
-                    F.when(ok, scorer.expr(xs, ys)).otherwise(F.lit(0.0))
+                inner = (
+                    scorer.bounded(xs, ys, float(rule.threshold))
+                    if scorer.bounded is not None
+                    else scorer.expr(xs, ys)
                 )
+                exprs.append(F.when(ok, inner).otherwise(F.lit(0.0)))
             elif pregate:
                 ok = scorer.upper_bound(xs, ys) >= F.lit(float(rule.threshold))
                 gx = F.when(ok, xs).otherwise(F.lit(""))

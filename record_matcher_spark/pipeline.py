@@ -41,13 +41,27 @@ def default_transcript_match_config() -> MatchConfig:
     entities): true variant pairs score >= ~47 (p05 ~53), false candidate
     pairs max out at ~38 — required_threshold=45 sits in the gap with
     precision 1.0 on the fixture corpora.
+
+    first_user_text is a CUTOFF rule (reference matcher.py:86-89
+    semantics: sub-threshold scores contribute 0 instead of their value):
+    within-entity variants keep first_user_text levenshtein >= ~90 (the
+    datagen perturbation expects <1 edit per word), so true-pair scores
+    are unchanged, while false pairs can only score LOWER than under
+    cutoff=False — every margin proof (closed-form corpus oracles,
+    threshold calibration) holds a fortiori. Operationally the cutoff
+    arms the two exactness-preserving fast paths on the pipeline's
+    single hottest expression (the O(L^2) levenshtein DP was measured at
+    ~90% of pair-scoring cost at 1.2M conversations): the length-gap
+    pre-gate and the banded thresholded kernel
+    (functions/scorers._bounded_levenshtein_ratio).
     """
     return MatchConfig(
         rules=(
             ColumnRule("full_text", ("full_text",), scorer="token_set_jaccard",
                        threshold=40.0, cutoff=False),
             ColumnRule("first_user_text", ("first_user_text",),
-                       scorer="levenshtein_ratio", threshold=50.0),
+                       scorer="levenshtein_ratio", threshold=50.0,
+                       cutoff=True),
             ColumnRule("role_seq", ("role_seq",), scorer="exact_match"),
             ColumnRule("tool_seq", ("tool_seq",), scorer="exact_match"),
         ),

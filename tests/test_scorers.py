@@ -155,3 +155,38 @@ def test_known_values():
     assert math.isclose(
         SCORERS["token_set_jaccard"].py("a b c", "a b c d"), 75.0
     )
+
+
+def test_bounded_levenshtein_matches_full_above_threshold(spark):
+    """``Scorer.bounded`` contract (scoring pre-gate): for every pair the
+    banded kernel returns the EXACT unbounded ratio when that ratio is
+    >= threshold and exact 0.0 otherwise — over edge pairs plus random
+    near-threshold strings, at several thresholds."""
+    import random
+
+    from record_matcher_spark.functions.scorers import (
+        _bounded_levenshtein_ratio,
+    )
+
+    rng = random.Random(0xB07)
+    pairs = list(EDGE_PAIRS)
+    for _ in range(120):
+        n = rng.randint(1, 24)
+        x = "".join(rng.choice("abcde ") for _ in range(n))
+        # mutate a random fraction so ratios cluster around mid-range
+        y = "".join(
+            rng.choice("abcde ") if rng.random() < rng.random() else ch
+            for ch in x
+        )
+        pairs.append((x, y))
+    df = spark.createDataFrame(pairs, "x string, y string")
+    scorer = SCORERS["levenshtein_ratio"]
+    for threshold in (30.0, 50.0, 75.0, 100.0):
+        xs, ys = blank_coalesce(F.col("x")), blank_coalesce(F.col("y"))
+        rows = df.select(
+            scorer.expr(xs, ys).alias("full"),
+            _bounded_levenshtein_ratio(xs, ys, threshold).alias("bounded"),
+        ).collect()
+        for r in rows:
+            expected = r["full"] if r["full"] >= threshold else 0.0
+            assert r["bounded"] == expected, (threshold, r)
