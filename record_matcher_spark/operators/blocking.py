@@ -24,6 +24,7 @@ from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 
 @dataclass(frozen=True)
@@ -98,13 +99,23 @@ def minhash_band_keys(
     band. Two records with token-set Jaccard s collide in at least one
     band with prob 1 - (1 - s^r)^b.
 
-    Implemented as explode(tokens) → groupBy(id).agg(min(hash_i)...):
-    map-side partial aggregation, no per-row array materialization (an
-    expression-level ``transform`` would allocate num_hashes × |tokens|
-    longs per row — measured as a GC storm at high thread counts), and the
-    groupBy reuses the upstream conv_id partitioning (no extra shuffle
-    after the rollup). Duplicated tokens don't change a min, so the
-    signature equals the distinct-token-set definition.
+    Implemented as explode(token hashes) → groupBy(id).agg(min(hash_i)...):
+    map-side partial aggregation, no per-row signature-array
+    materialization (an expression-level ``transform`` building all
+    num_hashes × |tokens| draws per row was measured as a GC storm at
+    high thread counts), and the groupBy reuses the upstream conv_id
+    partitioning (no extra shuffle after the rollup). Each token is
+    string-hashed ONCE (``xxhash64(token)``) before the explode; the
+    num_hashes per-token draws are then xxhash64 over that fixed-width
+    long — at 16 hashes this replaces 16 string traversals per token row
+    with one, and the exploded relation carries an 8-byte long instead of
+    the token string (less shuffle-free but allocation-heavy row payload;
+    measured as the dominant CPU of the candidates stage at high thread
+    counts). Hashing the hash preserves the MinHash property: the draws
+    are still num_hashes independent uniform functions of the token
+    (collisions between distinct tokens remain ~2^-64). Duplicated tokens
+    don't change a min, so the signature equals the distinct-token-set
+    definition.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -113,7 +124,9 @@ def minhash_band_keys(
     def keyed(df: DataFrame, id_col: str) -> DataFrame:
         ex = df.select(
             F.col(id_col).alias("_id"),
-            F.explode(_tokens(F.col(column))).alias("_t"),
+            F.explode(
+                F.transform(_tokens(F.col(column)), lambda t: F.xxhash64(t))
+            ).alias("_t"),
         )
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("_t"))).alias(f"_h{i}")
@@ -152,7 +165,13 @@ def _keyed(df: DataFrame, id_col: str, key: BlockingKey) -> DataFrame:
         )
     else:
         out = df.select(F.col(id_col).alias("_id"), key.expr(df).alias("_k"))
-    return out.where(F.col("_k").isNotNull() & (F.col("_k").cast("string") != ""))
+    blank = F.col("_k").isNull()
+    if isinstance(out.schema["_k"].dataType, StringType):
+        # blanks never form a block — string-typed keys only (a numeric
+        # key is never '', and casting it per row just to check would be
+        # allocation churn on the most numerous family)
+        blank = blank | (F.col("_k") == "")
+    return out.where(~blank)
 
 
 def _tagged_keys(
@@ -163,7 +182,11 @@ def _tagged_keys(
     ``_kk = xxhash64(family_index, key)`` folds every family's key (string
     or long) into one 8-byte join key with the family baked in, so the
     whole candidate generation is a single equi-join instead of one join
-    per family. A cross-family 64-bit collision merely yields a spurious
+    per family. The key is hashed in its NATIVE type (no cast-to-string:
+    a long→string conversion per row on the most numerous family — the
+    MinHash bands — was pure allocation churn; xxhash64 is well-defined
+    for both types and the family index keeps families disjoint either
+    way). A cross-family 64-bit collision merely yields a spurious
     candidate pair, which scoring then rejects — recall is unaffected.
     """
     fams = []
@@ -171,7 +194,7 @@ def _tagged_keys(
         k = _keyed(df, id_col, key)
         fams.append(
             k.select(
-                F.xxhash64(F.lit(i), F.col("_k").cast("string")).alias("_kk"),
+                F.xxhash64(F.lit(i), F.col("_k")).alias("_kk"),
                 F.lit(i).alias("_f"),
                 "_id",
             )
