@@ -345,7 +345,9 @@ JVM opts `{cfg["java_opts"] or "(none)"}`; Spark conf
 `{cfg["spark_conf"] or "(none)"}`; AQE {"on" if cfg["aqe"] else "off"};
 shuffle partitions {cfg["shuffle_partitions"]} at both core counts;
 shuffle scratch `{cfg["local_dir"]}`; corpus `{cfg["corpus_dir"]}`
-(content-hash keyed, _SUCCESS-checked).
+(content-hash keyed, _SUCCESS-checked); library code hash
+`{cfg.get("code_hash", "unknown")}` (pooling requires an exact match,
+so every trial in this section measured identical pipeline code).
 
 Reproduce: `python bench/scaling.py {n_entities} {n_lo} {cfg["trials"]}`
 """)
