@@ -44,6 +44,17 @@ class ColumnRule:
     scorer: str = DEFAULT_SCORER
     threshold: float = DEFAULT_THRESHOLD
     cutoff: bool = DEFAULT_CUTOFF
+    #: Optional name of a column that ALREADY holds this rule's scorer
+    #: ``prep`` payload (e.g. the rollup's tokenize-once ``tok_hashes``
+    #: for ``token_set_jaccard``). When the column is present on a side,
+    #: scoring reads it directly instead of re-running the prep
+    #: expression on that side's strings — sides without the column fall
+    #: back to the prep expression, so the same config works on raw
+    #: tables. The caller guarantees the column's values equal
+    #: ``scorer.prep(blank_coalesce(x_column))`` up to element order
+    #: (consumers are order-insensitive set operations). Only meaningful
+    #: for scorers with a prep phase; ignored otherwise.
+    prepped: str | None = None
 
     def __post_init__(self) -> None:
         if isinstance(self.y_columns, str):

@@ -533,7 +533,26 @@ def _lev_upper_bound(x: Column, y: Column) -> Column:
     )
 
 
-register_scorer("exact_match", _expr_exact, _py_exact, catalyst=True)
+def _exact_hash_prep(s: Column) -> Column:
+    """``exact_match`` prep: ship the 8-byte xxhash64 of the normalized
+    string instead of the string itself. Equality of the hashes equals
+    equality of the strings except on a 64-bit collision (~2^-64 per
+    compared pair — the same accepted-and-documented risk class as the
+    fused blocking key, CC id encoding, and the uniqueness distinct
+    count). Matters because exact-matched columns are often the LONGEST
+    shuffled payloads (e.g. a 40-turn role sequence is ~400 bytes; its
+    hash is 8): the candidate joins ship the hash, and the pair
+    comparison is one long compare instead of a byte-wise string
+    compare."""
+    return F.xxhash64(s)
+
+
+def _exact_hash_pair(px: Column, py: Column) -> Column:
+    return F.when(px == py, F.lit(100.0)).otherwise(F.lit(0.0))
+
+
+register_scorer("exact_match", _expr_exact, _py_exact, catalyst=True,
+                prep=_exact_hash_prep, pair=_exact_hash_pair)
 register_scorer(
     "levenshtein_ratio", _expr_levenshtein_ratio, _py_levenshtein_ratio,
     catalyst=True, upper_bound=_lev_upper_bound,

@@ -165,10 +165,17 @@ def match_increment(
             persisted.append(df)
         return df
 
-    newc = _persist(rollup_conversations(new_transcripts).drop("turns"))
-    # base slimmed to the batch rollup's exact schema; union is the y side
+    newc = _persist(
+        rollup_conversations(new_transcripts, tokens=True).drop("turns")
+    )
+    # base slimmed to the shared schema; union is the y side. A base from
+    # an older (token-less) rollup simply drops the tokenize-once columns
+    # from the union — scoring/blocking fall back to the prep expressions
+    # on that side with identical results (ColumnRule.prepped and
+    # minhash hashes_column are presence-gated).
+    y_cols = [c for c in newc.columns if c in base_conversations.columns]
     all_y = _persist(
-        base_conversations.select(*newc.columns).unionByName(newc)
+        base_conversations.select(*y_cols).unionByName(newc.select(*y_cols))
     )
 
     if uniqueness is None:

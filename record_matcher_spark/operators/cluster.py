@@ -246,9 +246,19 @@ def connected_components(
     if encode_ids is None:
         encode_ids = dict(edges.dtypes)[src] == "string"
     if not encode_ids and local_max_edges:
-        ec = edges.select(
-            F.col(src).alias("u"), F.col(dst).alias("v")
-        ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        # Canonicalize to unordered-distinct first: match edges arrive
+        # DIRECTED (a->b and b->a both present for most matched pairs),
+        # so one cheap skinny-row distinct halves the graph — often the
+        # difference between the star rounds and the single-task kernel.
+        # Self-loops survive (least==greatest) so their nodes still label.
+        ec = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
         if ec.count() <= local_max_edges:
             return _local_cc(ec)
     if encode_ids:
@@ -266,21 +276,36 @@ def connected_components(
         nonnull = edges.where(
             F.col(src).isNotNull() & F.col(dst).isNotNull()
         )
+        # Canonical unordered-distinct over the HASHED ids (cheap long
+        # comparisons): directed match edges carry each unordered pair
+        # twice, so this halves every downstream consumer — the local
+        # kernel's Arrow transfer, or the star rounds' first iteration.
+        canon = (
+            nonnull.select(
+                F.xxhash64(F.col(src)).alias("_s"),
+                F.xxhash64(F.col(dst)).alias("_d"),
+            )
+            .select(
+                F.least("_s", "_d").alias("src"),
+                F.greatest("_s", "_d").alias("dst"),
+            )
+            .distinct()
+        )
         # Local gate runs BEFORE the probe/star machinery, but on the
-        # HASH-ENCODED edges: the single task then reads 16-byte long
-        # pairs instead of id strings (measured: the string-fed task was
-        # ~9s serial at 3M edges — mostly Arrow/pandas object decode —
-        # vs ~2s on longs), and the min-original-id restore below runs as
-        # ordinary parallel joins. Under the gate n <= 2 * local_max_edges
-        # nodes, so 64-bit collisions are negligible and the dense-id
-        # probe is skipped.
+        # HASH-ENCODED canonical edges: the single task then reads
+        # 16-byte long pairs instead of id strings (measured: the
+        # string-fed task was ~9s serial at 3M edges — mostly
+        # Arrow/pandas object decode — vs ~2s on longs), and the
+        # min-original-id restore below runs as ordinary parallel joins.
+        # Under the gate n <= 2 * local_max_edges nodes, so 64-bit
+        # collisions are negligible and the dense-id probe is skipped.
         under_gate = False
         if local_max_edges:
-            under_gate = nonnull.count() <= local_max_edges
+            under_gate = canon.count() <= local_max_edges
         if not under_gate and dense_id_threshold:
             n_est = (
-                nonnull.select(
-                    F.explode(F.array(F.col(src), F.col(dst))).alias("_n")
+                canon.select(
+                    F.explode(F.array(F.col("src"), F.col("dst"))).alias("_n")
                 )
                 .agg(F.approx_count_distinct("_n").alias("n"))
                 .first()["n"]
@@ -335,17 +360,13 @@ def connected_components(
                         F.col("_co").alias("component"),
                     )
                 )
-        enc = nonnull.select(
-            F.xxhash64(F.col(src)).alias("src"),
-            F.xxhash64(F.col(dst)).alias("dst"),
-        )
         if under_gate:
             labeled = _local_cc(
-                enc.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+                canon.select(F.col("src").alias("u"), F.col("dst").alias("v"))
             )
         else:
             labeled = connected_components(
-                enc, "src", "dst", max_iterations, encode_ids=False,
+                canon, "src", "dst", max_iterations, encode_ids=False,
                 local_max_edges=0,
             )
         mapping = (

@@ -34,8 +34,35 @@ CONVERSATION_COLUMNS = [
 ]
 
 
-def rollup_conversations(transcripts: DataFrame) -> DataFrame:
+def rollup_conversations(
+    transcripts: DataFrame, tokens: bool = False
+) -> DataFrame:
     """One row per conv_id with ordered turns + derived match columns.
+
+    ``tokens=True`` adds the tokenize-ONCE columns, both ``array<long>``
+    of xxhash64 values over the conversation's DISTINCT whitespace-split
+    tokens (identical to tokenizing ``full_text``, since the turns are
+    joined with a whitespace separator):
+
+    - ``tok_hashes``: case-SENSITIVE tokens — the exact twin of the
+      ``token_set_jaccard`` scorer's prep (functions/scorers
+      ``_token_hashes_prep`` has no lowercasing), consumed via
+      ``ColumnRule.prepped``;
+    - ``tok_hashes_lower``: LOWERCASED tokens — the exact twin of the
+      blocking tokenizer (operators/blocking ``_tokens``), consumed by
+      the MinHash band keys' expression path.
+
+    Both sets come from ONE explode over the per-turn texts (explode ->
+    filter -> two xxhash64 -> two collect_set: every per-row step is
+    whole-stage-codegen), replacing the repeated higher-order-function
+    tokenization of the concatenated text (split/filter/distinct/
+    transform are interpreted per-element, not codegen — measured at
+    ~1.6 ms CPU per conversation and previously re-paid in three
+    separate pipeline stages). The aggregate and its join back on
+    conv_id reuse the input's conv_id clustering, so the plan stays
+    exchange-free on bucketed input (tests/test_plans.py). Element ORDER
+    within the arrays is unspecified (``collect_set``) — every consumer
+    is order-insensitive (set intersection sizes, MinHash minima).
 
     One shuffle (groupBy conv_id) — and ZERO shuffles when the input is
     already clustered by conv_id (Iceberg bucket layout): the aggregate's
@@ -94,7 +121,7 @@ def rollup_conversations(transcripts: DataFrame) -> DataFrame:
     first_user = F.filter(
         "turns", lambda t: t["role"] == F.lit("user")
     )[0]["text"]
-    return agg.select(
+    out = agg.select(
         "conv_id",
         "n_turns",
         F.array_join(texts, "\n").alias("full_text"),
@@ -104,6 +131,35 @@ def rollup_conversations(transcripts: DataFrame) -> DataFrame:
         "ts_min",
         "turns",
     )
+    if tokens:
+        tok = (
+            transcripts.select(
+                "conv_id",
+                F.explode(
+                    F.split(F.trim(F.col("text")), r"\s+")
+                ).alias("_t"),
+            )
+            .where(F.col("_t") != "")
+            .groupBy("conv_id")
+            .agg(
+                F.collect_set(F.xxhash64(F.col("_t"))).alias("tok_hashes"),
+                F.collect_set(F.xxhash64(F.lower(F.col("_t")))).alias(
+                    "tok_hashes_lower"
+                ),
+            )
+        )
+        # left join: a conversation whose every turn is blank has no token
+        # rows; it keeps EMPTY sets (matches tokenizing its full_text)
+        empty = F.array().cast("array<bigint>")
+        out = (
+            out.join(tok, "conv_id", "left")
+            .withColumn("tok_hashes", F.coalesce(F.col("tok_hashes"), empty))
+            .withColumn(
+                "tok_hashes_lower",
+                F.coalesce(F.col("tok_hashes_lower"), empty),
+            )
+        )
+    return out
 
 
 def rollup_sequence(

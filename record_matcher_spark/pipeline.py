@@ -57,8 +57,12 @@ def default_transcript_match_config() -> MatchConfig:
     """
     return MatchConfig(
         rules=(
+            # prepped="tok_hashes": scoring reads the rollup's
+            # tokenize-once hash set (bit-identical Jaccard — same
+            # distinct-token-hash sets) instead of re-tokenizing the
+            # concatenated conversation text on each side of every join
             ColumnRule("full_text", ("full_text",), scorer="token_set_jaccard",
-                       threshold=40.0, cutoff=False),
+                       threshold=40.0, cutoff=False, prepped="tok_hashes"),
             ColumnRule("first_user_text", ("first_user_text",),
                        scorer="levenshtein_ratio", threshold=50.0,
                        cutoff=True),
@@ -179,10 +183,13 @@ def match_transcripts(
     # match columns) — drop it before the persist so the conversations
     # cache and every downstream shuffle carry a slim payload. Callers
     # needing the full rollup use operators.rollup directly.
+    # tokens=True: the cache carries the tokenize-once `tok_hashes` set,
+    # consumed by MinHash blocking AND Jaccard scoring (both sides) —
+    # the conversation text is tokenized exactly once per corpus.
     conv = _stage(
         "conversations",
         lambda: _obs(
-            rollup_conversations(transcripts).drop("turns"),
+            rollup_conversations(transcripts, tokens=True).drop("turns"),
             "conversations",
             F.count(F.lit(1)).alias("n_conversations"),
             F.avg("n_turns").alias("avg_turns"),

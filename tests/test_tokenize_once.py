@@ -1,0 +1,163 @@
+"""Tokenize-once fast paths: the rollup's tok_hashes columns must be
+bit-equal (as sets) to the per-consumer tokenizations they replace, the
+MinHash expression path must emit identical keys to the explode path, the
+prepped-column scoring override must score identically, and the CC
+canonicalization must not change components.
+
+Reference anchor: the reference tokenizes per scorer call
+(/root/reference/record_matcher/*); this repo moves that work to one
+aggregation per corpus — these tests pin that the motion is semantics-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from record_matcher_spark.config import ColumnRule, MatchConfig
+from record_matcher_spark.datagen import generate_transcripts
+from record_matcher_spark.functions.scorers import _token_hashes_prep
+from record_matcher_spark.operators.blocking import (
+    minhash_band_keys,
+    _tokens,
+)
+from record_matcher_spark.operators.cluster import connected_components
+from record_matcher_spark.operators.rollup import rollup_conversations
+from record_matcher_spark.operators.scoring import score_candidate_pairs
+
+
+def assert_df_equal(a, b):
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert a.columns == b.columns
+    assert ra == rb, (ra[:3], rb[:3])
+
+
+def _conv(spark, n=60, seed=11):
+    t, _ = generate_transcripts(spark, n, seed=seed, num_partitions=4)
+    return rollup_conversations(t, tokens=True).drop("turns").cache()
+
+
+def test_tok_hashes_match_full_text_tokenization(spark):
+    """tok_hashes (case-sensitive) == scorer prep of full_text;
+    tok_hashes_lower == blocking tokenizer of full_text — as SETS."""
+    conv = _conv(spark)
+    chk = conv.select(
+        "conv_id",
+        F.array_sort("tok_hashes").alias("got"),
+        F.array_sort(_token_hashes_prep(F.col("full_text"))).alias("want"),
+        F.array_sort("tok_hashes_lower").alias("got_lo"),
+        F.array_sort(
+            F.transform(_tokens(F.col("full_text")), lambda t: F.xxhash64(t))
+        ).alias("want_lo"),
+    )
+    bad = chk.where(
+        (F.col("got") != F.col("want")) | (F.col("got_lo") != F.col("want_lo"))
+    )
+    assert bad.count() == 0, bad.limit(3).collect()
+
+
+def test_minhash_expression_path_keys_identical(spark):
+    """Expression path (tok_hashes_lower) and explode path (full_text)
+    produce the identical (_id, _k) key set."""
+    conv = _conv(spark)
+    key = minhash_band_keys("full_text", num_hashes=16, bands=4)
+    fast = key.keyed(conv, "conv_id")
+    slow = key.keyed(conv.drop("tok_hashes_lower"), "conv_id")
+    assert_df_equal(fast, slow)
+
+
+def test_prepped_override_scores_identical(spark):
+    """ColumnRule.prepped=tok_hashes scores bit-identically to the
+    prep-expression path (and the exact_match hash prep to the string
+    comparison)."""
+    conv = _conv(spark)
+    plain = conv.drop("tok_hashes", "tok_hashes_lower")
+    cand = (
+        conv.alias("a")
+        .join(conv.alias("b"), F.col("a.role_seq") == F.col("b.role_seq"))
+        .select(
+            F.col("a.conv_id").alias("x_id"), F.col("b.conv_id").alias("y_id")
+        )
+        .where(F.col("x_id") != F.col("y_id"))
+        .distinct()
+    )
+    rules = lambda prepped: (
+        ColumnRule("full_text", ("full_text",), scorer="token_set_jaccard",
+                   threshold=40.0, cutoff=False, prepped=prepped),
+        ColumnRule("role_seq", ("role_seq",), scorer="exact_match"),
+        ColumnRule("tool_seq", ("tool_seq",), scorer="exact_match"),
+    )
+    mk = lambda prepped: MatchConfig(
+        rules=rules(prepped), required_threshold=45.0,
+        duplicate_threshold=0.0, x_id="conv_id", y_id="conv_id",
+    )
+    fast = score_candidate_pairs(conv, conv, cand, mk("tok_hashes"))
+    slow = score_candidate_pairs(plain, plain, cand, mk(None))
+    assert_df_equal(fast, slow)
+
+
+def test_prepped_column_absent_falls_back(spark):
+    """A config naming a prepped column works unchanged on inputs that
+    don't carry it (presence-based fallback)."""
+    conv = _conv(spark)
+    plain = conv.drop("tok_hashes", "tok_hashes_lower")
+    cand = plain.select(F.col("conv_id").alias("x_id")).crossJoin(
+        plain.select(F.col("conv_id").alias("y_id"))
+    ).limit(200)
+    cfg = MatchConfig(
+        rules=(
+            ColumnRule("full_text", ("full_text",),
+                       scorer="token_set_jaccard", threshold=40.0,
+                       cutoff=False, prepped="tok_hashes"),
+        ),
+        required_threshold=45.0, duplicate_threshold=0.0,
+        x_id="conv_id", y_id="conv_id",
+    )
+    out = score_candidate_pairs(plain, plain, cand, cfg)
+    assert out.count() > 0
+
+
+def test_cc_directed_vs_canonical_components_identical(spark):
+    """CC over a directed edge list equals CC over any edge direction mix
+    (canonicalization is internal); self-loops keep their nodes."""
+    rows = [("a", "b"), ("b", "a"), ("b", "c"), ("x", "y"), ("z", "z"),
+            ("m", "n"), ("n", "m"), ("n", "o"), ("o", "m")]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e, "src", "dst").collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x", "z": "z",
+        "m": "m", "n": "m", "o": "m",
+    }
+
+
+def test_rollup_tokens_plan_exchange_free_on_clustered_input(spark):
+    """tokens=True must not add a shuffle on a CACHED conv_id-clustered
+    input (the bench/production layout): both aggregates read the cache's
+    hash(conv_id) partitioning and the join reuses it — zero
+    'Exchange hashpartitioning' in the whole plan."""
+    t, _ = generate_transcripts(spark, 40, seed=7, num_partitions=4)
+    clustered = t.repartition(8, "conv_id").cache()
+    clustered.count()
+    try:
+        plan = (
+            rollup_conversations(clustered, tokens=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the cache descriptor's own REPARTITION_BY_NUM lines are not
+        # executed exchanges; any shuffle ADDED by this plan would carry
+        # the ENSURE_REQUIREMENTS marker
+        added = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+            and "ENSURE_REQUIREMENTS" in ln
+        ]
+        assert not added, plan
+    finally:
+        clustered.unpersist()
