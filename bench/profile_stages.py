@@ -107,8 +107,11 @@ def main() -> None:
               flush=True)
         return out
 
+    # mirror pipeline.match_transcripts: tokenize-once rollup, turns
+    # dropped before the persist (the pipeline's cache payload)
     conv = timed("rollup(build+persist+count)",
-                 lambda: rollup_conversations(t_df).persist())
+                 lambda: rollup_conversations(t_df, tokens=True)
+                 .drop("turns").persist())
     timed("rollup count", lambda: conv.count())
 
     cand = timed("candidates(build+persist)", lambda: candidate_pairs(

@@ -41,8 +41,7 @@ def rollup_conversations(
 
     ``tokens=True`` adds the tokenize-ONCE columns, both ``array<long>``
     of xxhash64 values over the conversation's DISTINCT whitespace-split
-    tokens (identical to tokenizing ``full_text``, since the turns are
-    joined with a whitespace separator):
+    ``full_text`` tokens:
 
     - ``tok_hashes``: case-SENSITIVE tokens — the exact twin of the
       ``token_set_jaccard`` scorer's prep (functions/scorers
@@ -52,17 +51,14 @@ def rollup_conversations(
       blocking tokenizer (operators/blocking ``_tokens``), consumed by
       the MinHash band keys' expression path.
 
-    Both sets come from ONE explode over the per-turn texts (explode ->
-    filter -> two xxhash64 -> two collect_set: every per-row step is
-    whole-stage-codegen), replacing the repeated higher-order-function
-    tokenization of the concatenated text (split/filter/distinct/
-    transform are interpreted per-element, not codegen — measured at
-    ~1.6 ms CPU per conversation and previously re-paid in three
-    separate pipeline stages). The aggregate and its join back on
-    conv_id reuse the input's conv_id clustering, so the plan stays
-    exchange-free on bucketed input (tests/test_plans.py). Element ORDER
-    within the arrays is unspecified (``collect_set``) — every consumer
-    is order-insensitive (set intersection sizes, MinHash minima).
+    Both are plain projections over ``full_text`` with ONE shared split
+    (no extra aggregation, no join — the rollup's plan shape is
+    unchanged), hashing each token BEFORE the distinct so
+    ``array_distinct`` runs its primitive-long fast path instead of
+    object-comparing token strings. MinHash blocking and Jaccard scoring
+    previously re-ran this tokenization in three separate stages (key
+    derivation, x-side prep, y-side prep) — persisting it with the
+    conversation cache makes it once per corpus.
 
     One shuffle (groupBy conv_id) — and ZERO shuffles when the input is
     already clustered by conv_id (Iceberg bucket layout): the aggregate's
@@ -132,32 +128,18 @@ def rollup_conversations(
         "turns",
     )
     if tokens:
-        tok = (
-            transcripts.select(
-                "conv_id",
-                F.explode(
-                    F.split(F.trim(F.col("text")), r"\s+")
-                ).alias("_t"),
-            )
-            .where(F.col("_t") != "")
-            .groupBy("conv_id")
-            .agg(
-                F.collect_set(F.xxhash64(F.col("_t"))).alias("tok_hashes"),
-                F.collect_set(F.xxhash64(F.lower(F.col("_t")))).alias(
-                    "tok_hashes_lower"
-                ),
-            )
+        toks = F.filter(
+            F.split(F.trim(F.col("full_text")), r"\s+"),
+            lambda t: t != F.lit(""),
         )
-        # left join: a conversation whose every turn is blank has no token
-        # rows; it keeps EMPTY sets (matches tokenizing its full_text)
-        empty = F.array().cast("array<bigint>")
-        out = (
-            out.join(tok, "conv_id", "left")
-            .withColumn("tok_hashes", F.coalesce(F.col("tok_hashes"), empty))
-            .withColumn(
-                "tok_hashes_lower",
-                F.coalesce(F.col("tok_hashes_lower"), empty),
-            )
+        out = out.select(
+            "*",
+            F.array_distinct(
+                F.transform(toks, lambda t: F.xxhash64(t))
+            ).alias("tok_hashes"),
+            F.array_distinct(
+                F.transform(toks, lambda t: F.xxhash64(F.lower(t)))
+            ).alias("tok_hashes_lower"),
         )
     return out
 
