@@ -360,11 +360,21 @@ def _token_hashes_prep(s: Column) -> Column:
     long texts. The resulting SET is identical (distinct-of-hashes ==
     hashes-of-distinct up to a 64-bit collision collapsing a duplicate),
     and first-occurrence order is preserved either way.
+
+    Empty tokens (consecutive whitespace) are dropped AFTER hashing with
+    one native ``array_remove(…, xxhash64(''))`` instead of a
+    per-element ``filter`` lambda: higher-order functions interpret
+    their lambda per element, so this keeps the expression at ONE lambda
+    pass (the unavoidable per-token hash) — a real token whose hash
+    collides with xxhash64('') would be dropped (~2^-64, the documented
+    accepted risk class).
     """
-    toks = F.filter(
-        F.split(F.trim(s), r"\s+"), lambda t: t != F.lit("")
+    hashes = F.transform(
+        F.split(F.trim(s), r"\s+"), lambda t: F.xxhash64(t)
     )
-    return F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t)))
+    return F.array_remove(
+        F.array_distinct(hashes), F.xxhash64(F.lit(""))
+    )
 
 
 def _expr_token_set_jaccard(x: Column, y: Column) -> Column:

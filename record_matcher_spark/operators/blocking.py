@@ -48,9 +48,10 @@ class BlockingKey:
     keyed: Callable[[DataFrame, str], DataFrame] | None = None
 
 
-def _tokens(col: Column) -> Column:
+def _tokens(col: Column, lowercase: bool = True) -> Column:
+    base = F.lower(col) if lowercase else col
     return F.array_distinct(
-        F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != F.lit(""))
+        F.filter(F.split(F.trim(base), r"\s+"), lambda t: t != F.lit(""))
     )
 
 
@@ -92,6 +93,7 @@ def minhash_band_keys(
     bands: int = 4,
     max_block_size: int | None = None,
     hashes_column: str = "tok_hashes_lower",
+    lowercase: bool = True,
 ) -> BlockingKey:
     """MinHash LSH band keys over the token set of ``column``.
 
@@ -118,19 +120,33 @@ def minhash_band_keys(
     don't change a min, so the signature equals the distinct-token-set
     definition.
 
-    ``hashes_column``: when the input ALREADY carries the distinct
-    LOWERCASED-token hashes as an ``array<long>`` column of this name
-    (the rollup's tokenize-once ``tok_hashes_lower``,
-    operators/rollup.py — blocking tokens are lowercased, unlike the
-    scorer's case-sensitive ``tok_hashes``), the signature is
-    computed as a pure per-row expression over that array — no explode,
-    no aggregation, no re-tokenization (measured ~5x faster key
-    derivation at 1.2M conversations). The keys are BIT-IDENTICAL to the
-    explode path: ``min_i xxhash64(i, h)`` over the same hash set, folded
-    with the same band hash — min is order-insensitive, so the unspecified
-    ``collect_set`` element order cannot change a key. Records with an
-    empty hash array produce no keys, exactly like the explode path.
-    Inputs without the column use the explode+aggregate path.
+    ``lowercase``: token normalization for this family — True tokenizes
+    like the other blocking keys (case-folded, more recall under case
+    noise), False uses raw tokens so the family can SHARE the scorer
+    prep's case-sensitive hash set and the corpus is tokenized exactly
+    once (DEFAULT_TRANSCRIPT_KEYS does this: per-band collision
+    probability on case-noised variants stays ~1 at the default
+    jaccard/band geometry, and the other two families also cover the
+    pair). Applies to both paths, so keys are identical with or without
+    the precomputed column.
+
+    ``hashes_column``: when the input ALREADY carries the distinct token
+    hashes of THIS family's normalization as an ``array<long>`` column
+    of this name (the rollup's tokenize-once ``tok_hashes``,
+    operators/rollup.py), the explode consumes that
+    array directly — the signature pipeline is then pure whole-stage
+    codegen (explode, per-draw xxhash64, native min aggregate) with NO
+    re-tokenization. A per-row expression form (array_min over
+    ``transform`` draws, no explode/aggregate) was tried and rejected:
+    higher-order functions are interpreted per element, and
+    num_hashes * |tokens| interpreted lambda evaluations per record cost
+    more than the codegen explode+aggregate they replaced. The keys are
+    BIT-IDENTICAL to the tokenizing path: ``min_i xxhash64(i, h)`` over
+    the same hash set — min is order-insensitive, so the unspecified
+    array element order cannot change a key. Records with an empty hash
+    array produce no exploded rows and therefore no keys, exactly like
+    the tokenizing path. Inputs without the column tokenize ``column``
+    themselves.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -138,31 +154,20 @@ def minhash_band_keys(
 
     def keyed(df: DataFrame, id_col: str) -> DataFrame:
         if hashes_column in df.columns:
-            mins = [
-                F.array_min(
-                    F.transform(
-                        F.col(hashes_column),
-                        lambda h: F.xxhash64(F.lit(i), h),
-                    )
-                )
-                for i in range(num_hashes)
-            ]
-            band_arr = F.array(
-                *[
-                    F.xxhash64(F.lit(b), *mins[b * r : (b + 1) * r])
-                    for b in range(bands)
-                ]
-            )
-            return df.where(F.size(hashes_column) > 0).select(
+            ex = df.select(
                 F.col(id_col).alias("_id"),
-                F.explode(band_arr).alias("_k"),
+                F.explode(F.col(hashes_column)).alias("_t"),
             )
-        ex = df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                F.transform(_tokens(F.col(column)), lambda t: F.xxhash64(t))
-            ).alias("_t"),
-        )
+        else:
+            ex = df.select(
+                F.col(id_col).alias("_id"),
+                F.explode(
+                    F.transform(
+                        _tokens(F.col(column), lowercase=lowercase),
+                        lambda t: F.xxhash64(t),
+                    )
+                ).alias("_t"),
+            )
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("_t"))).alias(f"_h{i}")
             for i in range(num_hashes)
@@ -186,7 +191,15 @@ def minhash_band_keys(
 DEFAULT_TRANSCRIPT_KEYS: tuple[BlockingKey, ...] = (
     role_seq_key(max_block_size=64),
     token_prefix_key("first_user_text", 3),
-    minhash_band_keys("full_text", num_hashes=16, bands=4, max_block_size=256),
+    # lowercase=False + hashes_column="tok_hashes": this family shares the
+    # scorer prep's case-sensitive token-hash set (operators/rollup
+    # tokens=True), so the whole pipeline tokenizes each conversation
+    # exactly ONCE. Case noise only perturbs a few tokens per variant;
+    # band collision probability stays ~1 at this geometry and the other
+    # families also block the pair.
+    minhash_band_keys("full_text", num_hashes=16, bands=4,
+                      max_block_size=256, hashes_column="tok_hashes",
+                      lowercase=False),
 )
 
 

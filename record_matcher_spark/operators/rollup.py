@@ -39,26 +39,20 @@ def rollup_conversations(
 ) -> DataFrame:
     """One row per conv_id with ordered turns + derived match columns.
 
-    ``tokens=True`` adds the tokenize-ONCE columns, both ``array<long>``
-    of xxhash64 values over the conversation's DISTINCT whitespace-split
-    ``full_text`` tokens:
+    ``tokens=True`` adds the tokenize-ONCE column ``tok_hashes``
+    (``array<long>``): xxhash64 over the conversation's DISTINCT
+    whitespace-split ``full_text`` tokens, case-sensitive. It is built
+    with the ``token_set_jaccard`` scorer's own prep expression
+    (functions/scorers ``_token_hashes_prep``) so twin-ship is by
+    construction, as a plain projection over ``full_text`` — no extra
+    aggregation, no join, the rollup's plan shape is unchanged.
 
-    - ``tok_hashes``: case-SENSITIVE tokens — the exact twin of the
-      ``token_set_jaccard`` scorer's prep (functions/scorers
-      ``_token_hashes_prep`` has no lowercasing), consumed via
-      ``ColumnRule.prepped``;
-    - ``tok_hashes_lower``: LOWERCASED tokens — the exact twin of the
-      blocking tokenizer (operators/blocking ``_tokens``), consumed by
-      the MinHash band keys' expression path.
-
-    Both are plain projections over ``full_text`` with ONE shared split
-    (no extra aggregation, no join — the rollup's plan shape is
-    unchanged), hashing each token BEFORE the distinct so
-    ``array_distinct`` runs its primitive-long fast path instead of
-    object-comparing token strings. MinHash blocking and Jaccard scoring
-    previously re-ran this tokenization in three separate stages (key
-    derivation, x-side prep, y-side prep) — persisting it with the
-    conversation cache makes it once per corpus.
+    Consumers: Jaccard scoring reads it via ``ColumnRule.prepped`` on
+    BOTH join sides, and the transcript MinHash band keys share the same
+    set (``DEFAULT_TRANSCRIPT_KEYS`` uses ``lowercase=False`` minhash,
+    operators/blocking). Those three stages previously re-tokenized the
+    concatenated text independently — persisting the hashes with the
+    conversation cache makes tokenization once per corpus.
 
     One shuffle (groupBy conv_id) — and ZERO shuffles when the input is
     already clustered by conv_id (Iceberg bucket layout): the aggregate's
@@ -128,18 +122,13 @@ def rollup_conversations(
         "turns",
     )
     if tokens:
-        toks = F.filter(
-            F.split(F.trim(F.col("full_text")), r"\s+"),
-            lambda t: t != F.lit(""),
+        from record_matcher_spark.functions.scorers import (
+            _token_hashes_prep,
         )
+
         out = out.select(
             "*",
-            F.array_distinct(
-                F.transform(toks, lambda t: F.xxhash64(t))
-            ).alias("tok_hashes"),
-            F.array_distinct(
-                F.transform(toks, lambda t: F.xxhash64(F.lower(t)))
-            ).alias("tok_hashes_lower"),
+            _token_hashes_prep(F.col("full_text")).alias("tok_hashes"),
         )
     return out
 

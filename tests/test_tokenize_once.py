@@ -38,32 +38,56 @@ def _conv(spark, n=60, seed=11):
 
 
 def test_tok_hashes_match_full_text_tokenization(spark):
-    """tok_hashes (case-sensitive) == scorer prep of full_text;
-    tok_hashes_lower == blocking tokenizer of full_text — as SETS."""
+    """tok_hashes (case-sensitive) == scorer prep of full_text — same
+    arrays (the rollup uses the prep expression itself), and as SETS they
+    equal hashing the distinct raw tokens (hash-before-distinct
+    equivalence)."""
     conv = _conv(spark)
     chk = conv.select(
         "conv_id",
         F.array_sort("tok_hashes").alias("got"),
         F.array_sort(_token_hashes_prep(F.col("full_text"))).alias("want"),
-        F.array_sort("tok_hashes_lower").alias("got_lo"),
         F.array_sort(
-            F.transform(_tokens(F.col("full_text")), lambda t: F.xxhash64(t))
-        ).alias("want_lo"),
+            F.transform(
+                _tokens(F.col("full_text"), lowercase=False),
+                lambda t: F.xxhash64(t),
+            )
+        ).alias("want_raw"),
     )
     bad = chk.where(
-        (F.col("got") != F.col("want")) | (F.col("got_lo") != F.col("want_lo"))
+        (F.col("got") != F.col("want")) | (F.col("got") != F.col("want_raw"))
     )
     assert bad.count() == 0, bad.limit(3).collect()
 
 
-def test_minhash_expression_path_keys_identical(spark):
-    """Expression path (tok_hashes_lower) and explode path (full_text)
-    produce the identical (_id, _k) key set."""
+def test_minhash_precomputed_hashes_keys_identical(spark):
+    """The precomputed-hashes path (tok_hashes) and the tokenizing path
+    (full_text) produce the identical (_id, _k) key set — the transcript
+    family is case-sensitive on both paths."""
     conv = _conv(spark)
-    key = minhash_band_keys("full_text", num_hashes=16, bands=4)
+    key = minhash_band_keys("full_text", num_hashes=16, bands=4,
+                            hashes_column="tok_hashes", lowercase=False)
     fast = key.keyed(conv, "conv_id")
-    slow = key.keyed(conv.drop("tok_hashes_lower"), "conv_id")
+    slow = key.keyed(conv.drop("tok_hashes"), "conv_id")
     assert_df_equal(fast, slow)
+
+
+def test_minhash_lowercase_family_distinct_from_raw(spark):
+    """lowercase=True (generic default) and lowercase=False (transcript
+    family) give the same keys on case-clean text and different keys when
+    case differs — pinning that the normalization knob is real."""
+    rows = [("a", "alpha beta gamma"), ("b", "Alpha beta gamma")]
+    df = spark.createDataFrame(rows, ["id", "full_text"])
+    lo = minhash_band_keys("full_text", 8, 2).keyed(df, "id")
+    raw = minhash_band_keys("full_text", 8, 2, lowercase=False).keyed(df, "id")
+    lo_keys = {(r["_id"], r["_k"]) for r in lo.collect()}
+    raw_keys = {(r["_id"], r["_k"]) for r in raw.collect()}
+    lo_a = {k for i, k in lo_keys if i == "a"}
+    lo_b = {k for i, k in lo_keys if i == "b"}
+    raw_a = {k for i, k in raw_keys if i == "a"}
+    raw_b = {k for i, k in raw_keys if i == "b"}
+    assert lo_a == lo_b  # case-folded: identical signatures
+    assert raw_a != raw_b  # raw: the capitalized token changes draws
 
 
 def test_prepped_override_scores_identical(spark):
