@@ -158,6 +158,27 @@ def test_cc_directed_vs_canonical_components_identical(spark):
     }
 
 
+def test_prepped_scoring_plan_has_no_tokenization(spark):
+    """With ColumnRule.prepped engaged on both sides, the pair-scoring
+    plan must NOT re-split any text: the only split in the whole DAG is
+    the rollup's tokenize-once projection (pinned by plan string — a
+    regression would re-tokenize per join side)."""
+    from record_matcher_spark.pipeline import default_transcript_match_config
+
+    conv = _conv(spark)
+    cand = conv.select(F.col("conv_id").alias("x_id")).crossJoin(
+        conv.select(F.col("conv_id").alias("y_id"))
+    ).limit(100)
+    cfg = default_transcript_match_config()
+    out = score_candidate_pairs(conv, conv, cand, cfg, lazy_uniqueness=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # conv is cached, so its rollup-side split lives only in the
+    # InMemoryRelation descriptor; the scoring operators above the scans
+    # must not contain any split/lower tokenization
+    above_cache = plan.split("InMemoryRelation")[0]
+    assert "split(" not in above_cache, above_cache
+
+
 def test_rollup_tokens_plan_exchange_free_on_clustered_input(spark):
     """tokens=True must not add a shuffle on a CACHED conv_id-clustered
     input (the bench/production layout): both aggregates read the cache's
