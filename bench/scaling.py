@@ -264,7 +264,11 @@ def main() -> None:
     if os.path.exists(RESULTS_PATH):
         with open(RESULTS_PATH) as f:
             all_results = json.load(f)
-    key = f"{n_lo}->{n_hi}@{n_entities}"
+    # Key includes the library code hash: measurements of DIFFERENT
+    # pipeline code are different records and must coexist in the report
+    # (a round's code change would otherwise silently discard the prior
+    # round's pooled evidence instead of standing next to it).
+    key = f"{n_lo}->{n_hi}@{n_entities}@{config['code_hash'][:8]}"
     prior = all_results.get(key)
     if prior is not None and prior.get("config") == config | {
         "trials": prior.get("config", {}).get("trials")
