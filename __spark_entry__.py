@@ -456,11 +456,15 @@ def _q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train_iters=2: pins the ITERATIVE k-means loop cross-engine (the
+    # multi-step fixed-point coordinate sums + the oracle's iterative
+    # CTEs), not just one refinement step
     from record_matcher_spark.operators.similarity import ivf_topk
 
     _register_views(spark, sf_dir, ["embeddings"])
     e = spark.table("embeddings")
-    return ivf_topk(e, e.where("vec_id < 10"), "vec_id", "embedding", 5)
+    return ivf_topk(e, e.where("vec_id < 10"), "vec_id", "embedding", 5,
+                    train_iters=2)
 
 
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,7 +1030,8 @@ def _dataops_oracles() -> dict[str, str]:
             "embeddings", _EMB_QUERIES_SQL, "vec_id", "embedding", 5
         ),
         "ann_ivf_topk": similarity.ivf_topk_oracle_sql(
-            "embeddings", _EMB_QUERIES_SQL, "vec_id", "embedding", 5
+            "embeddings", _EMB_QUERIES_SQL, "vec_id", "embedding", 5,
+            train_iters=2,
         ),
         "doc_language_id": text_ops.language_id_oracle_sql(
             "documents", "doc_id", "text"

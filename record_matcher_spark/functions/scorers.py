@@ -349,7 +349,8 @@ def _token_hashes_prep(s: Column) -> Column:
     Intersect/union cardinalities over 8-byte hashes equal those over the
     token strings except on a 64-bit collision (~2^-64 per token pair —
     negligible even at 10^12 rows, and the Jaccard RATIO only shifts by
-    1/|union| if one ever occurs). Shipping longs instead of strings cuts
+    1/|union| if one ever occurs; consolidated risk register: README,
+    "64-bit hash-equality risk register"). Shipping longs instead of strings cuts
     the candidate-join shuffle ~3x and replaces string comparisons with
     long compares in the hot intersect loop.
 
@@ -558,7 +559,8 @@ def _exact_hash_prep(s: Column) -> Column:
     shuffled payloads (e.g. a 40-turn role sequence is ~400 bytes; its
     hash is 8): the candidate joins ship the hash, and the pair
     comparison is one long compare instead of a byte-wise string
-    compare."""
+    compare. Consolidated risk register: README, "64-bit hash-equality
+    risk register"."""
     return F.xxhash64(s)
 
 

@@ -168,11 +168,25 @@ def match_increment(
     newc = _persist(
         rollup_conversations(new_transcripts, tokens=True).drop("turns")
     )
-    # base slimmed to the shared schema; union is the y side. A base from
-    # an older (token-less) rollup simply drops the tokenize-once columns
-    # from the union — scoring/blocking fall back to the prep expressions
-    # on that side with identical results (ColumnRule.prepped and
-    # minhash hashes_column are presence-gated).
+    # base slimmed to the shared schema; union is the y side. ONLY the
+    # tokenize-once columns are optional on the base side: a base from an
+    # older (token-less) rollup drops them from the union and
+    # scoring/blocking fall back to the prep expressions with identical
+    # results (ColumnRule.prepped and minhash hashes_column are
+    # presence-gated). Every other rollup column is REQUIRED — a base
+    # missing e.g. ts_min is malformed, and silently narrowing both
+    # sides would hide it (earlier behavior; flagged in round-4 review).
+    _OPTIONAL_Y = {"tok_hashes", "tok_hashes_lower"}
+    missing = [
+        c for c in newc.columns
+        if c not in base_conversations.columns and c not in _OPTIONAL_Y
+    ]
+    if missing:
+        raise ValueError(
+            f"base_conversations is missing required rollup columns "
+            f"{missing}; only tokenize-once columns {sorted(_OPTIONAL_Y)} "
+            f"may be absent"
+        )
     y_cols = [c for c in newc.columns if c in base_conversations.columns]
     all_y = _persist(
         base_conversations.select(*y_cols).unionByName(newc.select(*y_cols))

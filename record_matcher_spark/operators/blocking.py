@@ -24,7 +24,7 @@ from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 
 @dataclass(frozen=True)
@@ -120,23 +120,31 @@ def minhash_band_keys(
     don't change a min, so the signature equals the distinct-token-set
     definition.
 
-    ``lowercase``: token normalization for this family — True tokenizes
-    like the other blocking keys (case-folded, more recall under case
-    noise), False uses raw tokens so the family can SHARE the scorer
-    prep's case-sensitive hash set and the corpus is tokenized exactly
-    once (DEFAULT_TRANSCRIPT_KEYS does this: per-band collision
-    probability on case-noised variants stays ~1 at the default
-    jaccard/band geometry, and the other two families also cover the
-    pair). Applies to both paths, so keys are identical with or without
+    ``lowercase``: token normalization for this family — True (default)
+    tokenizes like the other blocking keys (case-folded), False uses raw
+    tokens. Case-folding matters for RECALL, not just consistency:
+    measured on a corpus whose variants flip word case with p=0.3,
+    case-sensitive minhash-only candidate recall collapses to ~0.16 vs
+    ~0.62 case-folded at the default 16x4 geometry (per-band collision
+    probability is 1-(1-s^4)^4 and case flips crater the case-sensitive
+    Jaccard s), and even with the other two families covering, the full
+    default keyset loses ~8pp of pairs (tests/test_blocking.py pins
+    this). Applies to both paths, so keys are identical with or without
     the precomputed column.
 
     ``hashes_column``: when the input ALREADY carries the distinct token
     hashes of THIS family's normalization as an ``array<long>`` column
-    of this name (the rollup's tokenize-once ``tok_hashes``,
-    operators/rollup.py), the explode consumes that
+    of this name (the rollup's tokenize-once ``tok_hashes_lower`` /
+    ``tok_hashes``, operators/rollup.py), the explode consumes that
     array directly — the signature pipeline is then pure whole-stage
     codegen (explode, per-draw xxhash64, native min aggregate) with NO
-    re-tokenization. A per-row expression form (array_min over
+    re-tokenization. The column MUST hold xxhash64 hashes of this
+    family's own ``(column, lowercase)`` normalization — that pairing
+    cannot be checked at plan time, so it is part of the contract
+    (the rollup emits matching pairs: ``tok_hashes_lower`` ↔
+    ``lowercase=True``, ``tok_hashes`` ↔ ``lowercase=False``, both over
+    ``full_text``); a present-but-wrongly-TYPED column is a hard error
+    rather than a silent recall loss. A per-row expression form (array_min over
     ``transform`` draws, no explode/aggregate) was tried and rejected:
     higher-order functions are interpreted per element, and
     num_hashes * |tokens| interpreted lambda evaluations per record cost
@@ -154,6 +162,16 @@ def minhash_band_keys(
 
     def keyed(df: DataFrame, id_col: str) -> DataFrame:
         if hashes_column in df.columns:
+            dt = df.schema[hashes_column].dataType
+            if not (
+                isinstance(dt, ArrayType)
+                and isinstance(dt.elementType, LongType)
+            ):
+                raise TypeError(
+                    f"minhash hashes_column {hashes_column!r} must be "
+                    f"array<bigint> (distinct xxhash64 token hashes of "
+                    f"this family's normalization), got {dt.simpleString()}"
+                )
             ex = df.select(
                 F.col(id_col).alias("_id"),
                 F.explode(F.col(hashes_column)).alias("_t"),
@@ -191,15 +209,16 @@ def minhash_band_keys(
 DEFAULT_TRANSCRIPT_KEYS: tuple[BlockingKey, ...] = (
     role_seq_key(max_block_size=64),
     token_prefix_key("first_user_text", 3),
-    # lowercase=False + hashes_column="tok_hashes": this family shares the
-    # scorer prep's case-sensitive token-hash set (operators/rollup
-    # tokens=True), so the whole pipeline tokenizes each conversation
-    # exactly ONCE. Case noise only perturbs a few tokens per variant;
-    # band collision probability stays ~1 at this geometry and the other
-    # families also block the pair.
+    # Case-FOLDED minhash (hashes_column="tok_hashes_lower", the rollup's
+    # second tokenize-once column): a case-sensitive family sharing the
+    # scorer's tok_hashes was tried in an earlier round and measured to
+    # lose ~8pp of candidate recall on a 30%-case-noised corpus (0.84 vs
+    # 0.92 for the full keyset; minhash-only 0.16 vs 0.62) — case flips
+    # crater case-sensitive Jaccard and band collisions die with s^r.
+    # The lower column keeps tokenization once-per-normalization in the
+    # rollup projection; no stage here re-tokenizes.
     minhash_band_keys("full_text", num_hashes=16, bands=4,
-                      max_block_size=256, hashes_column="tok_hashes",
-                      lowercase=False),
+                      max_block_size=256),
 )
 
 
@@ -236,6 +255,8 @@ def _tagged_keys(
     for both types and the family index keeps families disjoint either
     way). A cross-family 64-bit collision merely yields a spurious
     candidate pair, which scoring then rejects — recall is unaffected.
+    Consolidated risk register: README, "64-bit hash-equality risk
+    register".
     """
     fams = []
     for i, key in enumerate(keys):

@@ -251,6 +251,13 @@ def connected_components(
         # so one cheap skinny-row distinct halves the graph — often the
         # difference between the star rounds and the single-task kernel.
         # Self-loops survive (least==greatest) so their nodes still label.
+        # Lazy localCheckpoint BEFORE the gate count: the count is the
+        # single action that materializes it, and whichever path wins —
+        # the local kernel or the star rounds below — consumes the
+        # materialized halved edge set instead of re-running the distinct
+        # (the pre-round-4 code paid the distinct once for the gate and
+        # then fed the star rounds the RAW directed list; flagged in
+        # round-4 review).
         ec = (
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
             .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
@@ -258,9 +265,17 @@ def connected_components(
                 F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
             )
             .distinct()
+            .localCheckpoint(eager=False)
         )
         if ec.count() <= local_max_edges:
             return _local_cc(ec)
+        # Over the gate: the star rounds consume the canonical edge set
+        # (their first iteration starts on half the rows). Recurse with
+        # the gate disabled — the distinct/count are already paid.
+        return connected_components(
+            ec.select(F.col("u").alias(src), F.col("v").alias(dst)),
+            src, dst, max_iterations, encode_ids=False, local_max_edges=0,
+        )
     if encode_ids:
         # Inline hash encoding: node -> xxhash64(node) needs NO dictionary
         # join and NO driver action (an order-preserving dense-id scheme
@@ -271,6 +286,8 @@ def connected_components(
         # Collision risk (two conv ids colliding at 64 bits merges two
         # clusters): ~n^2/2^65 — negligible below ~10^8 nodes; above the
         # dense_id_threshold probe the exact dense-id path takes over.
+        # This is the one correctness-critical hash-equality reliance in
+        # the repo (README, "64-bit hash-equality risk register").
         # null endpoints dropped BEFORE hashing: xxhash64(NULL) is a real
         # long (null input hashes to the seed), which would fabricate a node
         nonnull = edges.where(
@@ -290,6 +307,10 @@ def connected_components(
                 F.greatest("_s", "_d").alias("dst"),
             )
             .distinct()
+            # lazy checkpoint: the gate count / node probe materializes
+            # it once; the local kernel or star rounds then read the
+            # halved edges instead of re-running the distinct
+            .localCheckpoint(eager=False)
         )
         # Local gate runs BEFORE the probe/star machinery, but on the
         # HASH-ENCODED canonical edges: the single task then reads

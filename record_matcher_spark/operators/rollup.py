@@ -39,20 +39,27 @@ def rollup_conversations(
 ) -> DataFrame:
     """One row per conv_id with ordered turns + derived match columns.
 
-    ``tokens=True`` adds the tokenize-ONCE column ``tok_hashes``
-    (``array<long>``): xxhash64 over the conversation's DISTINCT
-    whitespace-split ``full_text`` tokens, case-sensitive. It is built
-    with the ``token_set_jaccard`` scorer's own prep expression
-    (functions/scorers ``_token_hashes_prep``) so twin-ship is by
-    construction, as a plain projection over ``full_text`` — no extra
-    aggregation, no join, the rollup's plan shape is unchanged.
+    ``tokens=True`` adds the tokenize-ONCE columns (both ``array<long>``):
 
-    Consumers: Jaccard scoring reads it via ``ColumnRule.prepped`` on
-    BOTH join sides, and the transcript MinHash band keys share the same
-    set (``DEFAULT_TRANSCRIPT_KEYS`` uses ``lowercase=False`` minhash,
-    operators/blocking). Those three stages previously re-tokenized the
-    concatenated text independently — persisting the hashes with the
-    conversation cache makes tokenization once per corpus.
+    - ``tok_hashes`` — xxhash64 over the conversation's DISTINCT
+      whitespace-split ``full_text`` tokens, case-sensitive. Built with
+      the ``token_set_jaccard`` scorer's own prep expression
+      (functions/scorers ``_token_hashes_prep``) so twin-ship is by
+      construction; Jaccard scoring reads it via ``ColumnRule.prepped``
+      on BOTH join sides.
+    - ``tok_hashes_lower`` — the same expression over
+      ``lower(full_text)``: the CASE-FOLDED token-hash set the default
+      MinHash blocking family consumes (``DEFAULT_TRANSCRIPT_KEYS``,
+      operators/blocking). Blocking needs case-folded normalization for
+      recall — measured on a 30%-case-noised corpus, case-sensitive
+      minhash-only candidate recall collapses to ~0.16 vs ~0.62
+      case-folded (tests/test_blocking.py pins the full-keyset recall) —
+      while scoring keeps the scorer's case-sensitive semantics.
+
+    Both are plain projections over ``full_text`` — no extra aggregation,
+    no join, the rollup's plan shape is unchanged. Each NORMALIZATION of
+    the corpus is tokenized exactly once, here; scoring and blocking
+    stages re-tokenize nothing (pinned in tests/test_tokenize_once.py).
 
     One shuffle (groupBy conv_id) — and ZERO shuffles when the input is
     already clustered by conv_id (Iceberg bucket layout): the aggregate's
@@ -129,6 +136,9 @@ def rollup_conversations(
         out = out.select(
             "*",
             _token_hashes_prep(F.col("full_text")).alias("tok_hashes"),
+            _token_hashes_prep(F.lower(F.col("full_text"))).alias(
+                "tok_hashes_lower"
+            ),
         )
     return out
 

@@ -31,6 +31,59 @@ YID = "__rm_y_id"
 SCORE = "row_score"
 OPTIMAL = "optimal_threshold"
 
+# Optimizer sizeInBytes at/above this is the "statistics unknown"
+# sentinel (spark.sql.defaultSizeInBytes defaults to Long.MaxValue).
+_UNKNOWN_STATS_BYTES = 1 << 62
+
+_BYTE_UNITS = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_byte_conf(v: str) -> int:
+    """'128MB' / '134217728' / '4m' → bytes (Spark conf byte syntax)."""
+    s = v.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    return int(s[:i]) * _BYTE_UNITS[s[i:].strip()]
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Scan-task estimate from OPTIMIZER STATISTICS — no Spark job, no
+    RDD conversion, no AQE stage materialization.
+
+    ``ceil(sizeInBytes / spark.sql.files.maxPartitionBytes)`` tracks the
+    file-source split count (FilePartition packs splits up to
+    maxPartitionBytes; sub-openCost files aren't split, and such inputs
+    estimate to 1 exactly like the old ``rdd.getNumPartitions()`` probe
+    saw them). Returns None when statistics are unknown (the
+    defaultSizeInBytes sentinel) — callers must treat that as "don't
+    repartition", the scale-safe direction: a 100 TB scan with opaque
+    stats must not be forced through an extra shuffle, while the
+    small-input case this estimate protects (a one-split parquet x
+    serializing pair scoring onto one core) always HAS file statistics.
+    """
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts scala BigInt to int when it fits; fall back to
+        # the string form for values past the auto-conversion range
+        size = raw if isinstance(raw, int) else int(raw.toString())
+        mpb = _parse_byte_conf(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "128MB"
+            )
+        )
+    except Exception:
+        return None
+    if size >= _UNKNOWN_STATS_BYTES or mpb <= 0:
+        return None
+    return max(1, -(-size // mpb))
+
 
 def uniqueness_by_columns(
     df: DataFrame, columns: Iterable[str]
@@ -58,7 +111,8 @@ def uniqueness_by_columns(
         # texts. Equal to the exact count unless two distinct values
         # collide at 64 bits (~n^2/2^65 — for the reference-parity target
         # that risk is accepted and documented; a collision shifts one
-        # weight by <= 1/n).
+        # weight by <= 1/n). Risk register: README, "64-bit
+        # hash-equality risk register".
         aggs.append(
             F.count_distinct(F.when(s != "", F.xxhash64(s))).alias(
                 f"__rm_u_{c}"
@@ -350,13 +404,14 @@ def score_pairs(
     default None lets Catalyst + AQE decide.
 
     ``min_parallelism``: fan-out floor for the x side (see the inline
-    comment at the probe below). The default probes the input's physical
-    partition count via ``x_df.rdd.getNumPartitions()`` — an accurate but
-    not free check (it converts the analyzed plan to an RDD; with AQE and
-    a shuffling upstream plan that can materialize query stages). Pass
-    ``0`` to skip the probe entirely when the caller knows the input is
-    already well-partitioned, or an explicit int to change the floor (the
-    probe still runs; repartition only happens when below the floor).
+    comment at the probe below). The default estimates the input's scan
+    partition count from OPTIMIZER STATISTICS
+    (:func:`_estimated_scan_partitions`) — plan-build stays job-free: no
+    RDD conversion, no action, no AQE stage materialization (pinned in
+    tests/test_plans.py). Unknown statistics skip the repartition (the
+    scale-safe direction). Pass ``0`` to skip the estimate entirely, or
+    an explicit int to change the floor (the estimate still runs;
+    repartition only happens when below the floor).
 
     Laziness note: the per-column uniqueness aggregate (O2) runs EAGERLY
     here — one Spark job over x producing an O(columns) result that is
@@ -378,11 +433,14 @@ def score_pairs(
     # the y side is broadcast (no shuffle between scan and scoring). A small
     # parquet x (one split) would serialize the whole candidate-pair scoring
     # onto one core — fan out first. At scale the scan already has >= target
-    # partitions and this is a no-op (no shuffle added). The probe runs on
-    # the RAW input (pre-projection, partitioning-equivalent), so it never
-    # touches the scorer prep expressions / pandas UDF columns.
-    if min_parallelism and x_df.rdd.getNumPartitions() < min_parallelism:
-        xp = xp.repartition(min_parallelism)
+    # partitions (or opaque stats) and this is a no-op (no shuffle added).
+    # The estimate is pure plan statistics over the RAW input — no job, no
+    # RDD conversion — and never touches the scorer prep / pandas UDF
+    # columns.
+    if min_parallelism:
+        est = _estimated_scan_partitions(x_df)
+        if est is not None and est < min_parallelism:
+            xp = xp.repartition(min_parallelism)
 
     yp = _y_side(y_df, cfg, extra=cfg.columns_to_group)
     if broadcast_y:

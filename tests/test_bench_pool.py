@@ -102,3 +102,40 @@ def test_config_gate_blocks_pooling_on_code_or_config_change():
     assert not gate({"code_hash": "abc", "taskset_pinning": False, "trials": 6})
     # legacy entry without code_hash -> replace, never pool
     assert not gate({"taskset_pinning": True, "trials": 6})
+
+
+# ---------------------------------------------------------------------------
+# bench.py headline pooling (cross-invocation, keyed by code hash + sf)
+# ---------------------------------------------------------------------------
+
+bench_spec = importlib.util.spec_from_file_location(
+    "rm_bench_main", os.path.join(REPO, "bench.py")
+)
+bench = importlib.util.module_from_spec(bench_spec)
+sys.modules["rm_bench_main"] = bench
+bench_spec.loader.exec_module(bench)
+
+
+def test_headline_pool_merges_same_hash_and_prefers_quiet():
+    hist = {}
+    t1 = {"q1": [[10.0, 0.1], [30.0, 5.0]], "q2": [[7.0, 9.0]]}
+    _, pooled, noisy = bench._pool_headlines(hist, "h1", "0.1", t1)
+    assert pooled["q1"] == 10.0          # quiet trial wins
+    assert pooled["q2"] == 7.0 and noisy == ["q2"]  # no quiet trial yet
+    # second invocation, same code hash: pool tightens
+    t2 = {"q1": [[8.0, 0.2]], "q2": [[9.0, 0.0]]}
+    _, pooled, noisy = bench._pool_headlines(hist, "h1", "0.1", t2)
+    assert pooled["q1"] == 8.0
+    assert pooled["q2"] == 9.0 and noisy == []  # quiet 9.0 beats noisy 7.0
+    assert hist["h1"]["invocations"] == 2
+    assert len(hist["h1"]["sf"]["0.1"]["q1"]) == 3
+
+
+def test_headline_pool_never_mixes_code_hashes_or_sfs():
+    hist = {}
+    bench._pool_headlines(hist, "h1", "0.1", {"q1": [[10.0, 0.1]]})
+    _, pooled, _ = bench._pool_headlines(hist, "h2", "0.1", {"q1": [[20.0, 0.1]]})
+    assert pooled["q1"] == 20.0          # h1's faster trial not visible
+    _, pooled, _ = bench._pool_headlines(hist, "h1", "0.01", {"q1": [[5.0, 0.1]]})
+    assert pooled["q1"] == 5.0           # own sf bucket
+    assert hist["h1"]["sf"]["0.1"]["q1"] == [[10.0, 0.1]]

@@ -131,3 +131,58 @@ def test_ivf_assignment_is_map_side_no_exchange(spark):
     plan = _plan(ivf_assign(embs, "vec_id", "embedding", cents))
     assert "Exchange" not in plan, plan
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_parse_byte_conf():
+    from record_matcher_spark.operators.scoring import _parse_byte_conf
+
+    assert _parse_byte_conf("128MB") == 128 << 20
+    assert _parse_byte_conf("134217728") == 128 << 20
+    assert _parse_byte_conf("4m") == 4 << 20
+    assert _parse_byte_conf(" 1gb ") == 1 << 30
+    assert _parse_byte_conf("512k") == 512 << 10
+    assert _parse_byte_conf("7b") == 7
+
+
+def test_score_pairs_build_no_rdd_conversion(spark, monkeypatch):
+    """Building score_pairs with DEFAULTS must not convert any DataFrame
+    to an RDD (round-4 review: the old fan-out probe used
+    x_df.rdd.getNumPartitions(), forcing analysis + a Python round-trip
+    at plan-build time). The statistics-based estimate must still fan a
+    one-split parquet x out to the floor — pinned via the plan string."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    from record_matcher_spark.config import ColumnRule, MatchConfig
+    from record_matcher_spark.operators.scoring import (
+        _estimated_scan_partitions,
+        score_pairs,
+    )
+
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    x = cust.selectExpr(
+        "c_custkey as row_id", "c_name as name", "c_nationkey as nk"
+    )
+    y = cust.selectExpr(
+        "c_custkey as row_id", "c_name as name", "c_nationkey as nk"
+    )
+    # tiny parquet: the stats estimate must see a sub-floor scan
+    est = _estimated_scan_partitions(x)
+    assert est is not None and est < spark.sparkContext.defaultParallelism
+
+    cfg = MatchConfig(
+        rules=(ColumnRule("name", ("name",), scorer="exact_match"),),
+        columns_to_group={"nk": "nk"},
+        x_id="row_id", y_id="row_id",
+    )
+
+    def _no_rdd(self):
+        raise AssertionError("DataFrame.rdd accessed during plan build")
+
+    monkeypatch.setattr(SparkDataFrame, "rdd", property(_no_rdd))
+    out = score_pairs(x, y, cfg)
+    monkeypatch.undo()
+    # the sub-floor x side was fanned out: a round-robin repartition
+    # exists in the optimized plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan, plan
+    assert out.limit(5).count() > 0

@@ -92,8 +92,9 @@ def test_minhash_lowercase_family_distinct_from_raw(spark):
 
 def test_prepped_override_scores_identical(spark):
     """ColumnRule.prepped=tok_hashes scores bit-identically to the
-    prep-expression path (and the exact_match hash prep to the string
-    comparison)."""
+    prep-expression path. (Both sides resolve exact_match through the
+    registry's hash-prep — the hash-vs-string-equality differential is
+    test_exact_hash_prep_vs_string_equality below.)"""
     conv = _conv(spark)
     plain = conv.drop("tok_hashes", "tok_hashes_lower")
     cand = (
@@ -118,6 +119,74 @@ def test_prepped_override_scores_identical(spark):
     fast = score_candidate_pairs(conv, conv, cand, mk("tok_hashes"))
     slow = score_candidate_pairs(plain, plain, cand, mk(None))
     assert_df_equal(fast, slow)
+
+
+def test_exact_hash_prep_vs_string_equality(spark):
+    """The exact_match hash-prep path (xxhash64 compare) must score
+    bit-identically to a TRUE string-equality scorer: a registry variant
+    with no prep resolves through scorer.expr on the normalized strings,
+    so this is a real differential over the prep change (round-4 review
+    flagged that no test exercised hash-vs-string equality)."""
+    from record_matcher_spark.functions.scorers import (
+        SCORERS, _expr_exact, _py_exact, register_scorer,
+    )
+
+    name = "__test_exact_strings"
+    register_scorer(name, _expr_exact, _py_exact, catalyst=True)
+    try:
+        conv = _conv(spark)
+        cand = (
+            conv.alias("a")
+            .join(conv.alias("b"), F.col("a.n_turns") == F.col("b.n_turns"))
+            .select(
+                F.col("a.conv_id").alias("x_id"),
+                F.col("b.conv_id").alias("y_id"),
+            )
+            .where(F.col("x_id") != F.col("y_id"))
+            .limit(500)
+        )
+        mk = lambda scorer: MatchConfig(
+            rules=(
+                ColumnRule("role_seq", ("role_seq",), scorer=scorer),
+                ColumnRule("tool_seq", ("tool_seq",), scorer=scorer),
+                ColumnRule("first_user_text", ("first_user_text",),
+                           scorer=scorer),
+            ),
+            required_threshold=45.0, duplicate_threshold=0.0,
+            x_id="conv_id", y_id="conv_id",
+        )
+        hashed = score_candidate_pairs(conv, conv, cand, mk("exact_match"))
+        strings = score_candidate_pairs(conv, conv, cand, mk(name))
+        assert_df_equal(hashed, strings)
+    finally:
+        SCORERS.pop(name, None)
+
+
+def test_minhash_lower_precomputed_keys_identical(spark):
+    """The tok_hashes_lower fast path (the DEFAULT transcript family) and
+    the lowercase-retokenizing path produce the identical (_id, _k) key
+    set — same pin as the case-sensitive twin above, for the case-folded
+    normalization the default keys actually use."""
+    conv = _conv(spark)
+    key = minhash_band_keys("full_text", num_hashes=16, bands=4)
+    fast = key.keyed(conv, "conv_id")
+    slow = key.keyed(conv.drop("tok_hashes_lower"), "conv_id")
+    assert_df_equal(fast, slow)
+
+
+def test_minhash_hashes_column_type_validated(spark):
+    """A present-but-wrongly-typed hashes_column is a hard error, not a
+    silent recall loss (round-4 review: the fast path engaged on column
+    NAME alone)."""
+    import pytest
+
+    rows = [("a", "alpha beta", ["alpha", "beta"])]
+    df = spark.createDataFrame(
+        rows, ["id", "full_text", "tok_hashes_lower"]
+    )  # array<string>, not array<long>
+    key = minhash_band_keys("full_text", 8, 2)
+    with pytest.raises(TypeError, match="array<bigint>"):
+        key.keyed(df, "id")
 
 
 def test_prepped_column_absent_falls_back(spark):
